@@ -1,0 +1,173 @@
+"""
+Slot decoders (reference src/models/EncodersDecoders/decoders.py).
+
+* ``ConvDecoder`` — spatial-broadcast CNN rendering per-slot RGBA, NHWC.
+* ``MLPPatchDecoder`` — per-patch MLP predicting ViT features + alpha masks,
+  with an optional CNN image head.
+
+Both are batched over ``B*num_slots`` (and, at the model level, over all
+frames at once), keeping the MXU busy with one large call.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from textocvp_tpu.nn.blocks import ConvBlock, upsample_bilinear, upsample_nearest, xavier_uniform
+
+DECODERS = ["ConvDecoder", "MLPPatchDecoder"]
+
+
+class ConvDecoder(nn.Module):
+    """
+    Fully convolutional decoder: ConvBlocks (hidden_dims traversed in reverse)
+    with optional nearest upsampling between them, then a final 3x3 conv to
+    ``out_channels`` (RGB + alpha) (reference decoders.py:52-125).
+    """
+
+    hidden_dims: Sequence[int]
+    kernel_size: int = 5
+    stride: int = 1
+    upsample: Optional[int] = None
+    out_channels: int = 4
+    batch_norm: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        up = None if (self.upsample is None or self.upsample < 2) else self.upsample
+        for i in range(len(self.hidden_dims) - 1, -1, -1):
+            x = ConvBlock(
+                out_channels=self.hidden_dims[i],
+                kernel_size=self.kernel_size,
+                stride=self.stride,
+                batch_norm=bool(self.batch_norm),
+                dtype=self.dtype,
+            )(x, train=train)
+            if up is not None and i > 0:
+                x = upsample_nearest(x, up)
+        x = nn.Conv(
+            self.out_channels, (3, 3), padding=1, kernel_init=xavier_uniform, dtype=self.dtype
+        )(x)
+        return x
+
+
+class MLPPatchDecoder(nn.Module):
+    """
+    Spatial-broadcast MLP patch decoder (reference decoders.py:129-365):
+    slots broadcast over patches + learned positional embedding -> per-patch
+    MLP -> (features, alpha); softmax over slots renders the patch features;
+    optional CNN head upsamples the feature grid to an RGB image.
+    """
+
+    num_patches: int
+    in_dim: int
+    hidden_dim: int
+    out_dim: int  # feature dim + 1 (alpha)
+    num_layers: int = 4
+    initial_layer_norm: bool = False
+    reconstruct_images: bool = False
+    patch_size: Optional[int] = None
+    img_size: Optional[int] = None
+    num_layers_cnn: Optional[int] = None
+    dtype: Any = jnp.float32
+
+    @property
+    def patch_grid(self) -> tuple[int, int]:
+        g = int(self.num_patches ** 0.5)
+        return (g, g)
+
+    @nn.compact
+    def __call__(self, slots, train: bool = False):
+        """
+        slots: (B, num_slots, slot_dim). Returns dict with recons_feats
+        (B, P, out_dim-1), masks (B, S, 1, gh, gw), recons_imgs
+        (B, H, W, 3) or None.
+        """
+        b, s, d = slots.shape
+        pos_embed = self.param(
+            "pos_embed",
+            lambda key, shape: jax.random.normal(key, shape) / (self.in_dim ** 0.5),
+            (1, 1, self.num_patches, self.in_dim),
+        )
+        x = jnp.broadcast_to(slots[:, :, None, :], (b, s, self.num_patches, d))
+        x = x + jnp.asarray(pos_embed, self.dtype)
+
+        if self.initial_layer_norm:
+            x = nn.LayerNorm(dtype=self.dtype, name="initial_ln")(x)
+        for i in range(self.num_layers):
+            feat = self.hidden_dim if i < self.num_layers - 1 else self.out_dim
+            x = nn.Dense(feat, kernel_init=xavier_uniform, dtype=self.dtype, name=f"mlp_{i}")(x)
+            if i < self.num_layers - 1:
+                x = nn.relu(x)
+
+        feats, alpha = x[..., :-1], x[..., -1:]
+        alpha = jax.nn.softmax(alpha.astype(jnp.float32), axis=1).astype(x.dtype)
+        recons_feats = jnp.sum(feats * alpha, axis=1)  # (B, P, out_dim-1)
+        gh, gw = self.patch_grid
+        masks = alpha.reshape(b, s, 1, gh, gw)
+
+        recons_imgs = None
+        if self.reconstruct_images:
+            grid = recons_feats.reshape(b, gh, gw, self.out_dim - 1)  # NHWC
+            recons_imgs = self._conv_patch_decoder(grid, train=train)
+        return {"recons_imgs": recons_imgs, "recons_feats": recons_feats, "masks": masks}
+
+    def _conv_patch_decoder(self, x, train: bool = False):
+        """
+        CNN head: conv blocks with batch norm, x2 nearest upsampling while the
+        spatial size is below img_size and (i+1)*2 < patch_size, halving the
+        channel count after the first upsample (reference decoders.py:325-365);
+        final 3x3 conv to RGB and bilinear resize to the exact image size.
+        """
+        hidden = self.hidden_dim
+        current = self.patch_grid[0]
+        for i in range(self.num_layers_cnn):
+            if (i > 0) and ((i + 1) * 2 < self.patch_size) and (current < self.img_size):
+                hidden = hidden // 2
+            x = ConvBlock(
+                out_channels=hidden, kernel_size=3, stride=1, batch_norm=True,
+                dtype=self.dtype, name=f"cnn_{i}",
+            )(x, train=train)
+            if ((i + 1) * 2 < self.patch_size) and (current < self.img_size):
+                x = upsample_nearest(x, 2)
+                current *= 2
+        x = nn.Conv(3, (3, 3), padding=1, kernel_init=xavier_uniform,
+                    dtype=self.dtype, name="cnn_final")(x)
+        if x.shape[1] != self.img_size:
+            x = upsample_bilinear(x, (self.img_size, self.img_size))
+        return x
+
+
+def get_decoder(decoder: dict, dtype=jnp.float32) -> nn.Module:
+    """Decoder factory (reference decoders.py:20-48)."""
+    name = decoder["decoder_name"]
+    params = dict(decoder.get("decoder_params", {}))
+    if name not in DECODERS:
+        raise ValueError(f"Unknown decoder_name {name!r}. Use one of {DECODERS}")
+    if name == "ConvDecoder":
+        return ConvDecoder(
+            hidden_dims=tuple(params["num_channels"]),
+            kernel_size=params.get("kernel_size", 5),
+            stride=params.get("stride", 1),
+            upsample=params.get("upsample"),
+            batch_norm=bool(params.get("batch_norm") or False),
+            dtype=dtype,
+        )
+    return MLPPatchDecoder(
+        num_patches=params["num_patches"],
+        in_dim=params["in_dim"],
+        hidden_dim=params["hidden_dim"],
+        out_dim=params["out_dim"],
+        num_layers=params.get("num_layers", 4),
+        initial_layer_norm=params.get("initial_layer_norm", False),
+        reconstruct_images=params.get("reconstruct_images", False),
+        patch_size=params.get("patch_size"),
+        img_size=params.get("img_size"),
+        num_layers_cnn=params.get("num_layers_cnn"),
+        dtype=dtype,
+    )

@@ -1,0 +1,193 @@
+"""
+Vision Transformer encoder (timm-compatible layout) in flax, for the frozen
+DINO/DINOv2 backbones used by ExtendedDINOSAUR
+(reference src/models/EncodersDecoders/timm_encoders.py).
+
+Matches the reference wrapper semantics exactly:
+* classification head removed; class token stripped from the output
+  (timm_encoders.py:69)
+* blocks truncated to ``depth`` (timm_encoders.py:47-48); the final
+  ``norm`` layer of timm's forward_features is *not* applied
+* normalization quirk: both mean AND std are loaded from the config's
+  ImageNet *mean* (timm_encoders.py:51-56) — replicated for numeric parity
+  with released checkpoints.
+
+Pretrained weights are imported from a timm/torch state_dict via
+:func:`import_timm_state_dict`; without a weight file the module is randomly
+initialized (useful for tests; training the frozen encoder is not supported,
+mirroring the reference where the backbone is always frozen).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+
+VIT_CONFIGS = {
+    "vit_small_patch16_224_dino": dict(patch_size=16, embed_dim=384, depth=12, num_heads=6),
+    "vit_small_patch8_224_dino": dict(patch_size=8, embed_dim=384, depth=12, num_heads=6),
+    "vit_base_patch16_224_dino": dict(patch_size=16, embed_dim=768, depth=12, num_heads=12),
+    "vit_base_patch8_224_dino": dict(patch_size=8, embed_dim=768, depth=12, num_heads=12),
+    "vit_small_patch14_dinov2": dict(
+        patch_size=14, embed_dim=384, depth=12, num_heads=6, layerscale_init=1e-5
+    ),
+    "vit_base_patch14_dinov2": dict(
+        patch_size=14, embed_dim=768, depth=12, num_heads=12, layerscale_init=1e-5
+    ),
+}
+
+
+class ViTBlock(nn.Module):
+    embed_dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    layerscale_init: Optional[float] = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.embed_dim
+        h = self.num_heads
+        dh = d // h
+
+        def layerscale(name, y):
+            if self.layerscale_init is None:
+                return y
+            gamma = self.param(name, nn.initializers.constant(self.layerscale_init), (d,))
+            return y * jnp.asarray(gamma, self.dtype)
+
+        # attention (timm Block: qkv with bias, proj with bias, pre-norm)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        b, n = q.shape[:2]
+        q = q.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        k = k.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
+        attn = jax.nn.softmax(
+            (jnp.einsum("bhqd,bhkd->bhqk", q, k) * dh ** -0.5).astype(jnp.float32), axis=-1
+        ).astype(self.dtype)
+        y = jnp.einsum("bhqk,bhkd->bhqd", attn, v).transpose(0, 2, 1, 3).reshape(b, n, d)
+        y = nn.Dense(d, dtype=self.dtype, name="proj")(y)
+        x = x + layerscale("ls1_gamma", y)
+
+        # MLP
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        y = nn.Dense(int(d * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(d, dtype=self.dtype, name="fc2")(y)
+        x = x + layerscale("ls2_gamma", y)
+        return x
+
+
+class ViTEncoder(nn.Module):
+    """Frozen ViT feature extractor. Input NHWC in [0,1]; output (B, P, D)."""
+
+    img_size: int
+    patch_size: int
+    embed_dim: int
+    depth: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    layerscale_init: Optional[float] = None
+    timm_norm_quirk: bool = True  # std := mean, as in the reference wrapper
+    dtype: Any = jnp.float32
+
+    @property
+    def grid_size(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size ** 2
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        mean = jnp.asarray(IMAGENET_MEAN, self.dtype)
+        std = mean if self.timm_norm_quirk else jnp.asarray((0.229, 0.224, 0.225), self.dtype)
+        x = (x - mean) / std
+
+        # patch embedding: conv patch_size/patch_size, NHWC
+        x = nn.Conv(
+            self.embed_dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        b = x.shape[0]
+        x = x.reshape(b, -1, self.embed_dim)  # (B, P, D)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, self.embed_dim))
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, self.num_patches + 1, self.embed_dim),
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, self.embed_dim)).astype(x.dtype), x], axis=1)
+        x = x + jnp.asarray(pos_embed, self.dtype)
+
+        for i in range(self.depth):
+            x = ViTBlock(
+                embed_dim=self.embed_dim,
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                layerscale_init=self.layerscale_init,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(x)
+        return x[:, 1:]  # strip class token; no final norm (matches reference)
+
+
+def interpolate_pos_embed(pos_embed: np.ndarray, new_grid: int) -> np.ndarray:
+    """
+    Bicubic interpolation of a timm pos_embed (1, 1+g*g, D) to a new grid size,
+    keeping the cls position, matching timm's resample_abs_pos_embed.
+    """
+    cls_pos, patch_pos = pos_embed[:, :1], pos_embed[:, 1:]
+    old_grid = int(round(patch_pos.shape[1] ** 0.5))
+    if old_grid == new_grid:
+        return pos_embed
+    d = patch_pos.shape[-1]
+    grid = patch_pos.reshape(1, old_grid, old_grid, d)
+    grid = jax.image.resize(jnp.asarray(grid), (1, new_grid, new_grid, d), method="bicubic")
+    grid = np.asarray(grid).reshape(1, new_grid * new_grid, d)
+    return np.concatenate([cls_pos, grid], axis=1)
+
+
+def import_timm_state_dict(state_dict: dict, module: ViTEncoder) -> dict:
+    """
+    Convert a timm VisionTransformer torch state_dict (numpy-valued) into this
+    module's flax params. Handles pos-embed grid interpolation and NCHW->HWIO
+    patch-embed kernel transposition.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    p: dict = {}
+    kernel = sd["patch_embed.proj.weight"].transpose(2, 3, 1, 0)  # OIHW -> HWIO
+    p["patch_embed"] = {"kernel": kernel, "bias": sd["patch_embed.proj.bias"]}
+    p["cls_token"] = sd["cls_token"]
+    p["pos_embed"] = interpolate_pos_embed(sd["pos_embed"], module.grid_size)
+    for i in range(module.depth):
+        blk = {}
+        pre = f"blocks.{i}."
+        blk["norm1"] = {"scale": sd[pre + "norm1.weight"], "bias": sd[pre + "norm1.bias"]}
+        blk["norm2"] = {"scale": sd[pre + "norm2.weight"], "bias": sd[pre + "norm2.bias"]}
+        blk["qkv"] = {"kernel": sd[pre + "attn.qkv.weight"].T, "bias": sd[pre + "attn.qkv.bias"]}
+        blk["proj"] = {
+            "kernel": sd[pre + "attn.proj.weight"].T,
+            "bias": sd[pre + "attn.proj.bias"],
+        }
+        blk["fc1"] = {"kernel": sd[pre + "mlp.fc1.weight"].T, "bias": sd[pre + "mlp.fc1.bias"]}
+        blk["fc2"] = {"kernel": sd[pre + "mlp.fc2.weight"].T, "bias": sd[pre + "mlp.fc2.bias"]}
+        if module.layerscale_init is not None:
+            blk["ls1_gamma"] = sd[pre + "ls1.gamma"]
+            blk["ls2_gamma"] = sd[pre + "ls2.gamma"]
+        p[f"block_{i}"] = blk
+    return p
