@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""
+Throughput benchmark: the north-star config — TextOCVP rollout on CATER
+(seed-encode -> 19-step autoregressive predict -> decode) as ONE jitted XLA
+program per batch, on whatever accelerator JAX sees (TPU in production).
+
+Metric: predicted frames / second / chip, i.e. batch * num_preds frames per
+wall-clock second divided by the number of local devices.
+
+Prints exactly one JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` compares against REF_GPU_FPS — the reference PyTorch
+implementation's GPU throughput for the same protocol. The reference repo
+publishes no numbers (BASELINE.md), so this constant is an engineering
+estimate (per-step Python-loop latency of the torch rollout at batch 8,
+documented in BASELINE.md) to be replaced by a measured value when the
+released checkpoints + GPU hardware are available.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REF_GPU_FPS = 250.0  # estimated reference GPU predicted-frames/sec/chip
+
+
+def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pallas: bool):
+    import jax
+    import jax.numpy as jnp
+
+    from textocvp_tpu.core.config import build_exp_params, add_predictor_params
+    from textocvp_tpu.models import setup_model, setup_predictor
+
+    exp_params = build_exp_params("SAVi", "CATER_Easy")
+    exp_params = add_predictor_params(exp_params, "TextOCVP_T5")
+    exp_params["prediction_params"]["num_preds"] = num_preds
+    exp_params["tpu"] = {"compute_dtype": compute_dtype, "use_pallas": use_pallas,
+                         "mesh_axes": {"data": -1, "model": 1}}
+
+    model = setup_model(exp_params)
+    predictor = setup_predictor(exp_params)
+    c = exp_params["prediction_params"]["num_context"]
+    num_slots = exp_params["model"]["model_params"]["num_slots"]
+    slot_dim = exp_params["model"]["model_params"]["slot_dim"]
+
+    rng = jax.random.PRNGKey(14)
+    videos = jax.random.uniform(rng, (batch_size, c, 64, 64, 3), dtype=jnp.float32)
+    # T5-small token ids for a CATER-style caption (~20 tokens)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (batch_size, 20), 2, 30000)
+    attn_masks = jnp.ones((batch_size, 20), dtype=jnp.int32)
+
+    init_rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
+    model_vars = model.init(init_rngs, videos, decode=True, train=False)
+    slot_sample = model.apply(model_vars, videos, decode=False,
+                              rngs={"slots": jax.random.PRNGKey(2)})["slot_history"]
+    pred_vars = predictor.init({"params": jax.random.PRNGKey(3)}, slot_sample,
+                               caption_tokens=tokens, attn_masks=attn_masks)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=())
+    def eval_step(model_params, pred_params, videos, tokens, attn_masks, key):
+        b = videos.shape[0]
+        out = model.apply(model_params, videos, decode=False, rngs={"slots": key})
+        pred_slots = predictor.apply(
+            pred_params, out["slot_history"], num_preds=num_preds,
+            teacher_force=False, caption_tokens=tokens, attn_masks=attn_masks,
+        )
+        dec = model.apply(model_params, pred_slots.reshape(b * num_preds, num_slots, slot_dim),
+                          method="decode")
+        return jnp.clip(dec["recons_imgs"], 0, 1)
+
+    return eval_step, (model_vars, pred_vars, videos, tokens, attn_masks)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--num_preds", type=int, default=19)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    parser.add_argument("--pallas", action="store_true", default=False)
+    args = parser.parse_args()
+
+    import jax
+
+    n_chips = jax.local_device_count()
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    eval_step, (model_vars, pred_vars, videos, tokens, attn_masks) = build_flagship(
+        args.batch_size, args.num_preds, args.dtype, args.pallas
+    )
+
+    key = jax.random.PRNGKey(7)
+    t0 = time.perf_counter()
+    out = eval_step(model_vars, pred_vars, videos, tokens, attn_masks, key)
+    out.block_until_ready()
+    compile_s = time.perf_counter() - t0
+    print(f"compile+first-step: {compile_s:.1f}s", file=sys.stderr)
+
+    # warmup
+    for i in range(2):
+        eval_step(model_vars, pred_vars, videos, tokens, attn_masks,
+                  jax.random.fold_in(key, i)).block_until_ready()
+
+    t0 = time.perf_counter()
+    for i in range(args.iters):
+        out = eval_step(model_vars, pred_vars, videos, tokens, attn_masks,
+                        jax.random.fold_in(key, 100 + i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    frames = args.batch_size * args.num_preds * args.iters
+    fps_per_chip = frames / dt / n_chips
+    print(f"step time: {dt / args.iters * 1000:.2f} ms  "
+          f"({frames} frames in {dt:.2f}s on {n_chips} chip)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "pred_frames_per_sec_per_chip (CATER SAVi+TextOCVP_T5 num_preds=19)",
+        "value": round(fps_per_chip, 2),
+        "unit": "frames/s/chip",
+        "vs_baseline": round(fps_per_chip / REF_GPU_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

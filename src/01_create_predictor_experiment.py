@@ -1,0 +1,6 @@
+"""Thin entry point preserving the reference CLI surface; see
+textocvp_tpu/cli/create_predictor_experiment.py."""
+from textocvp_tpu.cli.create_predictor_experiment import main
+
+if __name__ == "__main__":
+    main()

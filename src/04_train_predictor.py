@@ -1,0 +1,6 @@
+"""Thin entry point preserving the reference CLI surface; see
+textocvp_tpu/cli/train_predictor.py."""
+from textocvp_tpu.cli.train_predictor import main
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,6 @@
+"""Thin entry point preserving the reference CLI surface; see
+textocvp_tpu/cli/generate_figs_decomp.py."""
+from textocvp_tpu.cli.generate_figs_decomp import main
+
+if __name__ == "__main__":
+    main()

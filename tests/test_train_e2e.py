@@ -1,0 +1,117 @@
+"""
+End-to-end integration: create experiment -> train SAVi a few steps on the
+synthetic dataset -> create predictor experiment -> train predictor ->
+evaluate with the one-program rollout. Exercises every layer of the framework
+on the 8-device CPU mesh.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from textocvp_tpu.core.experiment import Experiment
+
+
+def _tiny_exp(tmp_path, name="exp_tiny"):
+    exp = Experiment.create(tmp_path / name, "SAVi", "Synthetic")
+    params = exp.params
+    mp = params["model"]["model_params"]
+    mp.update(num_slots=3, slot_dim=16, mlp_hidden=16, mlp_encoder_dim=16)
+    mp["encoder"]["encoder_params"].update(num_channels=[8, 8], resolution=[16, 16])
+    mp["decoder"]["decoder_params"].update(num_channels=[8, 8], resolution=[16, 16])
+    mp["transition_module"] = {"model_name": "TransformerBlock", "num_heads": 2, "mlp_size": 16}
+    params["dataset"].update(
+        img_size=[16, 16], num_frames=4, num_train_seqs=8, num_eval_seqs=8,
+        tokenizer="CustomTokenizer", total_frames=8,
+    )
+    params["training"].update(
+        num_epochs=2, batch_size=8, log_frequency=1, save_frequency=1, warmup_steps=2,
+    )
+    params["prediction_params"].update(num_context=1, num_preds=2, input_buffer_size=3)
+    exp.save_params(params)
+    return exp
+
+
+@pytest.fixture(scope="module")
+def trained_exp(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("e2e")
+    exp = _tiny_exp(tmp_path)
+
+    from textocvp_tpu.train.trainer import DecompTrainer
+
+    trainer = DecompTrainer(exp.exp_path)
+    trainer.load_data()
+    videos, _ = next(iter(trainer.train_loader))
+    trainer.setup_model(videos)
+    trainer.training_loop()
+    return exp
+
+
+def test_savi_training_reduces_loss_and_checkpoints(trained_exp):
+    models = list(trained_exp.models_dir.glob("*.msgpack"))
+    names = {m.stem for m in models}
+    assert "checkpoint_last_saved" in names
+    assert "checkpoint_epoch_final" in names
+    assert "checkpoint_epoch_1" in names
+
+
+def test_decomp_evaluation(trained_exp):
+    from textocvp_tpu.train.evaluator import DecompEvaluator
+
+    ev = DecompEvaluator(trained_exp.exp_path, "checkpoint_epoch_final",
+                         batch_size=8, metrics=("psnr", "ssim"))
+    ev.load_data()
+    videos, _ = next(iter(ev.test_loader))
+    ev.load_model(videos)
+    results = ev.evaluate()
+    assert "psnr" in results and "ssim" in results
+    assert np.isfinite(results["psnr"]["mean"])
+    assert len(results["psnr"]["framewise"]) == 4
+    with open(ev.exp.results_dir(ev.results_name) / "results.json") as f:
+        saved = json.load(f)
+    assert saved["psnr"]["mean"] == results["psnr"]["mean"]
+
+
+@pytest.fixture(scope="module")
+def trained_predictor(trained_exp):
+    pred_exp = Experiment.create_predictor(
+        trained_exp.exp_path, "pred_tiny", "TextOCVP_CustomTF"
+    )
+    params = pred_exp.params
+    pp = params["predictor"]["predictor_params"]
+    pp["predictor_params"].update(token_dim=32, n_heads=2, hidden_dim=32, num_layers=1)
+    pp["fusion_params"].update(num_heads=2, head_dim=8, mlp_size=32)
+    pp["text_encoder_params"].update(input_dim=16, num_layers=1, num_heads=2, vocab_size=16)
+    params["training"].update(num_epochs=1, batch_size=8, log_frequency=1, save_frequency=1)
+    pred_exp.save_params(params)
+
+    from textocvp_tpu.train.predictor_trainer import PredictorTrainer
+
+    trainer = PredictorTrainer(pred_exp.exp_path, decomp_ckpt="checkpoint_epoch_final")
+    trainer.load_data()
+    videos, others = next(iter(trainer.train_loader))
+    trainer.setup_model(videos, others)
+    trainer.training_loop()
+    return pred_exp
+
+
+def test_predictor_training_checkpoints(trained_predictor):
+    names = {m.stem for m in trained_predictor.models_dir.glob("*.msgpack")}
+    assert "checkpoint_epoch_final" in names
+
+
+def test_predictor_evaluation_one_program(trained_exp, trained_predictor):
+    from textocvp_tpu.train.evaluator import PredictorEvaluator
+
+    ev = PredictorEvaluator(
+        trained_exp.exp_path, "pred_tiny",
+        decomp_ckpt="checkpoint_epoch_final", pred_ckpt="checkpoint_epoch_final",
+        num_seed=1, num_preds=3, batch_size=8, metrics=("psnr", "ssim"),
+    )
+    ev.load_data()
+    videos, others = next(iter(ev.test_loader))
+    ev.load_models(videos, others)
+    results = ev.evaluate()
+    assert np.isfinite(results["psnr"]["mean"])
+    assert len(results["psnr"]["framewise"]) == 3

@@ -142,6 +142,13 @@ def build_exp_params(model_name: str, dataset_name: str) -> dict:
     params["dataset"] = {**params["dataset"], **get_dataset_config(dataset_name)}
     params["model"]["model_name"] = model_name
     params["model"]["model_params"] = get_model_config(model_name)
+    if model_name == "ExtendedDINOSAUR":
+        # dual loss: DINO-feature MSE + image MSE (reference
+        # 02_train_extended_dinosaur.py:57-62)
+        params["loss"] = [
+            {"type": "pred_feature_mse", "weight": 1},
+            {"type": "mse", "weight": 1},
+        ]
     return params
 
 

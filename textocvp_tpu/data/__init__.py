@@ -1,0 +1,2 @@
+from textocvp_tpu.data.loader import DataLoader, load_data, unwrap_batch
+from textocvp_tpu.data.tokenizers import CustomTokenizer, get_tokenizer

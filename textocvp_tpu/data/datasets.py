@@ -1,0 +1,175 @@
+"""
+Real dataset loaders: CATER (mp4 videos + explicit-caption JSON,
+reference data/Cater.py) and CLIPort put-block-in-bowl episodes
+(reference data/CLIPort.py). Host-side numpy only; frames come out as
+(T, H, W, C) float32 in [0, 1], NHWC for the TPU pipeline.
+
+Video decoding uses imageio(+ffmpeg) instead of decord; CLIPort PNGs load via
+PIL with bilinear resize (torch ``transforms.Resize`` semantics: the SHORTER
+side is resized to ``img_size`` when an int is given).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+
+from textocvp_tpu.data.vocabularies import (
+    CATER_EASY_VOCAB,
+    CATER_HARD_VOCAB,
+    CLIPORT_VOCAB,
+    CLIPORT_VOCAB_TEST,
+)
+
+
+def _resize_frames(frames: np.ndarray, size) -> np.ndarray:
+    """Bilinear resize of (T, H, W, C) float frames to the target size. An int
+    target resizes the shorter side (torchvision semantics); a tuple is exact."""
+    from PIL import Image
+
+    t, h, w, c = frames.shape
+    if isinstance(size, int):
+        if h <= w:
+            new_h, new_w = size, max(1, round(w * size / h))
+        else:
+            new_h, new_w = max(1, round(h * size / w)), size
+    else:
+        new_h, new_w = size
+    if (new_h, new_w) == (h, w):
+        return frames.astype(np.float32)
+    out = np.empty((t, new_h, new_w, c), dtype=np.float32)
+    for i in range(t):
+        img = Image.fromarray((np.clip(frames[i], 0, 1) * 255).astype(np.uint8))
+        out[i] = np.asarray(img.resize((new_w, new_h), Image.BILINEAR), dtype=np.float32) / 255.0
+    return out
+
+
+def _read_video(path: str, indices: np.ndarray) -> np.ndarray:
+    """Decode selected frames of an mp4 as float32 [0,1] (T, H, W, C)."""
+    import imageio
+
+    reader = imageio.get_reader(path)
+    frames = []
+    wanted = set(int(i) for i in indices)
+    last = max(wanted)
+    for i, frame in enumerate(reader):
+        if i in wanted:
+            frames.append(np.asarray(frame, dtype=np.float32) / 255.0)
+        if i >= last:
+            break
+    reader.close()
+    return np.stack(frames, axis=0)
+
+
+class CATER:
+    """CATER easy/hard video-caption dataset (reference data/Cater.py:66-187)."""
+
+    MODES = ["easy", "hard"]
+
+    def __init__(self, root, mode, split, num_frames=16, img_size=(64, 64),
+                 random_start=False, seed: int = 14, **kwargs):
+        if mode not in self.MODES:
+            raise NameError(f"mode={mode!r} unknown. Use one of {self.MODES}")
+        if split not in ["train", "val", "valid", "test", "eval"]:
+            raise ValueError(f"Unknown split={split!r}")
+        split = "test" if split in ("valid", "val", "test", "eval") else split
+        self.root = os.path.join(root, mode)
+        if not os.path.exists(self.root):
+            raise FileNotFoundError(f"{self.root} does not exist")
+        self.mode = mode
+        self.split = split
+        self.num_frames = num_frames
+        self.img_size = img_size if not isinstance(img_size, int) else (img_size, img_size)
+        self.random_start = random_start
+        self._rng = np.random.default_rng(seed)
+        with open(os.path.join(self.root, f"{split}_explicit.json")) as f:
+            self.annotations = json.load(f)
+
+    def __len__(self) -> int:
+        return len(self.annotations)
+
+    def __getitem__(self, idx: int):
+        ann = self.annotations[str(idx)]
+        video_path = os.path.join(self.root, ann["video"])
+        caption = ann["caption"]
+        # the reference probes the video length via decord; CATER clips are 31+
+        # frames — mirror its start logic (fixed start = frame 1, Cater.py:137-141)
+        if self.random_start and self.split == "train":
+            import imageio
+
+            n_total = imageio.get_reader(video_path).count_frames()
+            start = int(self._rng.integers(0, n_total - self.num_frames + 1))
+        else:
+            start = 1
+        indices = np.arange(start, start + self.num_frames)
+        frames = _read_video(video_path, indices)
+        frames = _resize_frames(frames, self.img_size)
+        return frames, caption
+
+    @property
+    def vocabulary(self) -> dict:
+        return CATER_EASY_VOCAB if self.mode == "easy" else CATER_HARD_VOCAB
+
+
+class CLIPort:
+    """CLIPort put-block-in-bowl episodes (reference data/CLIPort.py:77-262)."""
+
+    EXCLUDE_EPISODES = ["episode07564", "episode09031", "episode13755", "episode11237"]
+
+    def __init__(self, root, split, num_frames, img_size, random_start=False,
+                 seed: int = 14, **kwargs):
+        if split not in ["train", "val", "valid", "test", "eval"]:
+            raise ValueError(f"Unknown split={split!r}")
+        split = "val" if split in ("val", "valid") else ("test" if split in ("test", "eval") else split)
+        self.root = os.path.join(root, split)
+        if not os.path.exists(self.root):
+            raise FileNotFoundError(f"{self.root} does not exist")
+        self.split = split
+        self.num_frames = num_frames
+        self.img_size = img_size
+        self.random_start = random_start if split == "train" else False
+        self._rng = np.random.default_rng(seed)
+
+        self.episodes = sorted(
+            (f for f in os.listdir(self.root)
+             if f.startswith("episode") and f not in self.EXCLUDE_EPISODES),
+            key=lambda x: int(x.split("episode")[-1]),
+        )
+        self.labels = [self._load_label(e) for e in self.episodes]
+
+    def _load_label(self, episode: str) -> str:
+        path = os.path.join(self.root, episode, "task_description.txt")
+        with open(path) as f:
+            return f.read().strip()
+
+    def __len__(self) -> int:
+        return len(self.episodes)
+
+    def __getitem__(self, idx: int):
+        from PIL import Image
+
+        episode = self.episodes[idx]
+        color_dir = os.path.join(self.root, episode, "color")
+        frame_files = sorted(os.listdir(color_dir))
+        n = len(frame_files)
+        if n < self.num_frames:
+            raise ValueError(f"{self.num_frames} frames required but {n} available in {episode}")
+        if self.random_start:
+            start = int(self._rng.integers(0, max(n - self.num_frames, 0) + 1))
+        else:
+            start = 0
+        frames = []
+        for i in range(start, start + self.num_frames):
+            frame_num = frame_files[i].split("_")[0]
+            with open(os.path.join(color_dir, f"{frame_num}_color.png"), "rb") as f:
+                img = Image.open(f).convert("RGB")
+            frames.append(np.asarray(img, dtype=np.float32) / 255.0)
+        frames = _resize_frames(np.stack(frames), self.img_size)
+        return frames, self.labels[idx]
+
+    @property
+    def vocabulary(self) -> dict:
+        return CLIPORT_VOCAB_TEST if self.split == "test" else CLIPORT_VOCAB

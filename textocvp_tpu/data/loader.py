@@ -1,0 +1,144 @@
+"""
+Host input pipeline: dataset factory, batching loader with background
+prefetch, and batch unwrapping (reference data/load_data.py).
+
+The loader assembles numpy batches on worker threads and keeps a bounded
+prefetch queue so video decode / resize overlaps TPU compute — the reference
+relies on torch DataLoader worker processes for the same purpose.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from textocvp_tpu.core.config import CONFIG, get_available_configs
+from textocvp_tpu.data.tokenizers import get_tokenizer
+
+
+def load_data(exp_params: dict, split: str = "train"):
+    """Dataset factory keyed by the config registry (reference load_data.py:12-50)."""
+    db_params = dict(exp_params["dataset"])
+    db_name = db_params.pop("dataset_name")
+    available = get_available_configs("datasets")
+    if db_name not in available:
+        raise NotImplementedError(f"Dataset {db_name!r} not available. Use one of {available}")
+
+    tokenizer_name = db_params.pop("tokenizer", "T5")
+    if db_name in ("CATER_Easy", "CATER_Hard"):
+        from textocvp_tpu.data.datasets import CATER
+
+        dataset = CATER(split=split, mode="easy" if db_name == "CATER_Easy" else "hard",
+                        **db_params)
+    elif db_name == "CLIPort":
+        from textocvp_tpu.data.datasets import CLIPort
+
+        dataset = CLIPort(split=split, **db_params)
+    elif db_name == "Synthetic":
+        from textocvp_tpu.data.synthetic import SyntheticBalls
+
+        n = db_params.pop("num_train_seqs", 64) if split == "train" \
+            else db_params.pop("num_eval_seqs", 16)
+        db_params.pop("num_eval_seqs", None)
+        db_params.pop("num_train_seqs", None)
+        db_params.pop("root", None)
+        dataset = SyntheticBalls(split=split, num_seqs=n, **db_params)
+    else:
+        raise NotImplementedError(f"Dataset {db_name!r} not wired up")
+
+    vocab = getattr(dataset, "vocabulary", None)
+    dataset.tokenizer = get_tokenizer(tokenizer_name, vocabulary=vocab)
+    return dataset
+
+
+class DataLoader:
+    """
+    Iterates a dataset in batches of ``(videos, caption_info)`` where videos
+    is (B, T, H, W, C) float32 and caption_info carries the collate contract
+    {caption, caption_tokens, caption_lengths, attn_masks}
+    (reference Cater.py:170-187).
+
+    ``num_workers`` threads fetch items; up to ``prefetch`` assembled batches
+    are buffered ahead of the consumer.
+    """
+
+    def __init__(self, dataset, batch_size: int = 8, shuffle: bool = False,
+                 num_workers: Optional[int] = None, prefetch: int = 2,
+                 drop_last: bool = False, seed: int = 14):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = CONFIG["num_workers"] if num_workers is None else num_workers
+        self.prefetch = max(1, prefetch)
+        self.drop_last = drop_last
+        self._epoch = 0
+        self._seed = seed
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batch_indices(self) -> list[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self._seed + self._epoch)
+            rng.shuffle(order)
+        batches = [order[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def _collate(self, items):
+        videos = np.stack([it[0] for it in items], axis=0).astype(np.float32)
+        captions = [it[1] for it in items]
+        info = {"caption": captions}
+        tokenizer = getattr(self.dataset, "tokenizer", None)
+        if tokenizer is not None:
+            info.update(tokenizer(captions))
+        return videos, info
+
+    def __iter__(self) -> Iterator:
+        batches = self._batch_indices()
+        self._epoch += 1
+        if self.num_workers <= 0:
+            for idxs in batches:
+                yield self._collate([self.dataset[int(i)] for i in idxs])
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    for idxs in batches:
+                        items = list(pool.map(lambda i: self.dataset[int(i)], idxs))
+                        q.put(self._collate(items))
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(sentinel)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        thread.join()
+
+
+def unwrap_batch(batch) -> tuple[np.ndarray, dict]:
+    """(videos, others) split (reference load_data.py:77-91)."""
+    videos, caption_info = batch
+    return videos, dict(caption_info)

@@ -107,7 +107,7 @@ class ExtendedDINOSAUR(nn.Module):
             slots, attn = self.slot_attention.iterate(k[:, step], v[:, step], slots, n_iters)
             slot_hist.append(slots)
             attn_hist.append(attn)
-            if step < t - 1 and self.transition is not None:
+            if self.transition is not None:
                 slots = self.transition(slots)
 
         slot_history = jnp.stack(slot_hist, axis=1)

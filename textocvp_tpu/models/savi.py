@@ -148,7 +148,10 @@ class SAVi(nn.Module):
             slots, attn = self.slot_attention.iterate(k[:, step], v[:, step], slots, n_iters)
             slot_hist.append(slots)
             attn_hist.append(attn)
-            if step < t - 1 and self.transition is not None:
+            if self.transition is not None:
+                # applied every frame incl. the last (result unused there),
+                # matching the reference (SAVi.py:198) and ensuring the
+                # transition params exist even for single-frame traces
                 slots = self.transition(slots)
 
         slot_history = jnp.stack(slot_hist, axis=1)       # (B, T, S, D)

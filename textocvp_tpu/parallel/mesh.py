@@ -1,0 +1,61 @@
+"""
+Device-mesh layer: the SPMD replacement for the reference's
+``torch.nn.DataParallel`` (reference baseTrainer.py:132-135; SURVEY.md §2.7).
+
+A 2-axis mesh is created over all local devices:
+
+* ``data``  — batch-sharded inputs ride the ICI; gradients are all-reduced by
+  XLA (psum emitted from jit with sharded inputs + replicated params).
+* ``model`` — reserved for tensor-parallel sharding of large predictors; size
+  1 in the stock configs so every program is valid single-chip too.
+
+Multi-host scaling would add a DCN axis via ``jax.distributed.initialize``;
+the mesh helpers keep axis names stable so that is an additive change.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def get_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """Build a (data, model) mesh. data=-1 uses all remaining devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data == -1:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    return Mesh(devices.reshape(data, model), ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Device-put a pytree of host arrays with the batch axis sharded over
+    'data'. Non-array leaves (e.g. caption strings) pass through."""
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) >= 1:
+            return jax.device_put(x, sharding)
+        return x
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def pad_batch_to_multiple(batch_size: int, mesh: Mesh) -> int:
+    """Smallest batch size >= batch_size divisible by the data-axis size."""
+    d = mesh.shape["data"]
+    return ((batch_size + d - 1) // d) * d

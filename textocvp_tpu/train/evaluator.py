@@ -1,0 +1,209 @@
+"""
+Evaluators (reference base/baseEvaluator.py + 03_evaluate_decomp_model.py +
+05_evaluate_predictor.py).
+
+* DecompEvaluator — full-sequence reconstruction PSNR/SSIM/LPIPS.
+* PredictorEvaluator — seed-encode -> num_preds rollout -> decode -> metrics,
+  compiled as ONE jitted XLA program per batch (the north-star inference
+  path). Unlike the reference, only the ``num_seed`` seed frames are encoded —
+  the slot recurrence is causal, so encoding the ground-truth futures (as the
+  reference does at 05_evaluate_predictor.py:82-89) is redundant compute with
+  identical results.
+
+CLI overrides mirror the reference: ``num_seed`` overrides ``num_context``,
+``num_preds`` overrides the rollout length, and the dataset sequence length
+becomes ``num_seed + num_preds`` (baseEvaluator.py:61-86).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from textocvp_tpu.core.experiment import Experiment
+from textocvp_tpu.core.logger import Logger, print_
+from textocvp_tpu.data import DataLoader, load_data
+from textocvp_tpu.models import setup_model, setup_predictor
+from textocvp_tpu.parallel.mesh import get_mesh, shard_batch
+from textocvp_tpu.train.checkpoints import checkpoint_path, load_checkpoint
+from textocvp_tpu.train.metrics import MetricTracker
+
+
+def _text_kwargs(others: dict) -> dict:
+    out = {}
+    for k in ("caption_tokens", "caption_lengths", "attn_masks"):
+        v = others.get(k)
+        if v is not None:
+            out[k] = jnp.asarray(v)
+    return out
+
+
+class DecompEvaluator:
+    """Evaluate a decomposition checkpoint on full-sequence reconstruction."""
+
+    def __init__(self, exp_path, checkpoint: str, batch_size: Optional[int] = None,
+                 results_name: Optional[str] = None,
+                 metrics=("psnr", "ssim", "lpips")):
+        self.exp = Experiment(exp_path)
+        Logger(self.exp.exp_path)
+        self.exp_params = self.exp.params
+        self.checkpoint = checkpoint
+        self.batch_size = batch_size or self.exp_params["training"]["batch_size"]
+        self.results_name = results_name or f"eval_decomp_{checkpoint}"
+        self.mesh = get_mesh(**(self.exp_params.get("tpu") or {}).get(
+            "mesh_axes", {"data": -1, "model": 1}))
+        self.model = setup_model(self.exp_params)
+        self.metric_tracker = MetricTracker(metrics)
+
+    def load_data(self):
+        self.test_set = load_data(self.exp_params, split="test")
+        self.test_loader = DataLoader(self.test_set, batch_size=self.batch_size, shuffle=False)
+
+    def load_model(self, sample_videos: np.ndarray):
+        init_rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
+        variables = self.model.init(init_rngs, jnp.asarray(sample_videos[:1]), train=False)
+        restored = load_checkpoint(checkpoint_path(self.exp.models_dir, self.checkpoint))
+        self.variables = {"params": jax.tree_util.tree_map(jnp.asarray, restored["params"])}
+        if restored.get("batch_stats"):
+            self.variables["batch_stats"] = jax.tree_util.tree_map(
+                jnp.asarray, restored["batch_stats"])
+        elif "batch_stats" in variables:
+            self.variables["batch_stats"] = variables["batch_stats"]
+        model = self.model
+        tracker = self.metric_tracker
+
+        @jax.jit
+        def eval_step(variables, videos, rng):
+            out = model.apply(variables, videos, rngs={"slots": rng})
+            recons = jnp.clip(out["recons_imgs"], 0, 1)
+            targets = jnp.clip(videos, 0, 1)
+            return tracker.compute(recons, targets)
+
+        self.eval_step = eval_step
+
+    def evaluate(self) -> dict:
+        step = 0
+        for videos, _ in self.test_loader:
+            step += 1
+            batch = shard_batch(jnp.asarray(videos), self.mesh)
+            rng = jax.random.fold_in(jax.random.PRNGKey(14), step)
+            vals = self.eval_step(self.variables, batch, rng)
+            self.metric_tracker.accumulate(precomputed=vals)
+        self.metric_tracker.aggregate()
+        results = self.metric_tracker.to_json()
+        self.exp.save_results(self.results_name, results)
+        print_(f"Results: { {k: v['mean'] for k, v in results.items()} }")
+        return results
+
+
+class PredictorEvaluator:
+    """Evaluate a predictor checkpoint on the video-prediction protocol."""
+
+    def __init__(self, exp_path, name_pred_exp: str, decomp_ckpt: str, pred_ckpt: str,
+                 num_seed: Optional[int] = None, num_preds: Optional[int] = None,
+                 batch_size: Optional[int] = None, results_name: Optional[str] = None,
+                 metrics=("psnr", "ssim", "lpips")):
+        parent = Experiment(exp_path)
+        self.exp = Experiment(parent.exp_path / "predictors" / name_pred_exp) \
+            if not str(name_pred_exp).startswith(str(parent.exp_path)) \
+            else Experiment(name_pred_exp)
+        Logger(self.exp.exp_path)
+        self.parent = Experiment(exp_path)
+        self.exp_params = self.exp.params
+        self.decomp_ckpt = decomp_ckpt
+        self.pred_ckpt = pred_ckpt
+
+        # num_seed overrides num_context; num_preds overrides rollout length
+        pp = self.exp_params["prediction_params"]
+        if num_seed is not None:
+            pp["num_context"] = num_seed
+        if num_preds is not None:
+            pp["num_preds"] = num_preds
+        self.num_context = pp["num_context"]
+        self.num_preds = pp["num_preds"]
+        self.exp_params["dataset"]["num_frames"] = self.num_context + self.num_preds
+
+        self.batch_size = batch_size or self.exp_params["training"]["batch_size"]
+        self.results_name = results_name or (
+            f"eval_pred_{pred_ckpt}_NumSeed={self.num_context}_NumPreds={self.num_preds}"
+        )
+        self.mesh = get_mesh(**(self.exp_params.get("tpu") or {}).get(
+            "mesh_axes", {"data": -1, "model": 1}))
+        self.decomp_model = setup_model(self.exp_params)
+        self.predictor = setup_predictor(self.exp_params)
+        self.metric_tracker = MetricTracker(metrics)
+
+    def load_data(self):
+        self.test_set = load_data(self.exp_params, split="test")
+        self.test_loader = DataLoader(self.test_set, batch_size=self.batch_size, shuffle=False)
+
+    def load_models(self, sample_videos: np.ndarray, sample_text: Optional[dict] = None):
+        c, p = self.num_context, self.num_preds
+        videos = jnp.asarray(sample_videos[:1, : c + p])
+        init_rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
+        init_vars = self.decomp_model.init(init_rngs, videos, decode=True, train=False)
+
+        restored = load_checkpoint(checkpoint_path(self.parent.models_dir, self.decomp_ckpt))
+        self.decomp_vars = {"params": jax.tree_util.tree_map(jnp.asarray, restored["params"])}
+        if restored.get("batch_stats"):
+            self.decomp_vars["batch_stats"] = jax.tree_util.tree_map(
+                jnp.asarray, restored["batch_stats"])
+        elif "batch_stats" in init_vars:
+            self.decomp_vars["batch_stats"] = init_vars["batch_stats"]
+
+        slot_sample = self.decomp_model.apply(
+            {"params": self.decomp_vars["params"]}, videos[:, :c], decode=False,
+            rngs={"slots": jax.random.PRNGKey(2)},
+        )["slot_history"]
+        text_kwargs = {k: v[:1] for k, v in _text_kwargs(sample_text or {}).items()}
+        self.predictor.init({"params": jax.random.PRNGKey(3)}, slot_sample, **text_kwargs)
+        pred_restored = load_checkpoint(checkpoint_path(self.exp.models_dir, self.pred_ckpt))
+        self.pred_params = jax.tree_util.tree_map(jnp.asarray, pred_restored["params"])
+        self._build_step()
+
+    def _build_step(self):
+        decomp_model = self.decomp_model
+        predictor = self.predictor
+        tracker = self.metric_tracker
+        decomp_vars = self.decomp_vars
+        c, p = self.num_context, self.num_preds
+        num_slots = self.exp_params["model"]["model_params"]["num_slots"]
+        slot_dim = self.exp_params["model"]["model_params"]["slot_dim"]
+
+        @jax.jit
+        def eval_step(pred_params, videos, rng, **text_kwargs):
+            """Seed-encode -> rollout -> decode -> metrics, one XLA program."""
+            b = videos.shape[0]
+            seed = videos[:, :c]
+            out = decomp_model.apply(decomp_vars, seed, decode=False, rngs={"slots": rng})
+            slot_history = out["slot_history"]
+            pred_slots = predictor.apply(
+                {"params": pred_params}, slot_history, num_preds=p,
+                teacher_force=False, **text_kwargs,
+            )
+            dec = decomp_model.apply(
+                decomp_vars, pred_slots.reshape(b * p, num_slots, slot_dim), method="decode"
+            )
+            targets = jnp.clip(videos[:, c : c + p], 0, 1)
+            pred_imgs = jnp.clip(dec["recons_imgs"].reshape(targets.shape), 0, 1)
+            return tracker.compute(pred_imgs, targets), pred_imgs
+
+        self.eval_step = eval_step
+
+    def evaluate(self) -> dict:
+        step = 0
+        for videos, others in self.test_loader:
+            step += 1
+            batch = shard_batch(jnp.asarray(videos), self.mesh)
+            rng = jax.random.fold_in(jax.random.PRNGKey(14), step)
+            vals, _ = self.eval_step(self.pred_params, batch, rng, **_text_kwargs(others))
+            self.metric_tracker.accumulate(precomputed=vals)
+        self.metric_tracker.aggregate()
+        results = self.metric_tracker.to_json()
+        self.exp.save_results(self.results_name, results)
+        print_(f"Results: { {k: v['mean'] for k, v in results.items()} }")
+        return results

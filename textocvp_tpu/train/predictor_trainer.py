@@ -1,0 +1,276 @@
+"""
+Stage-2 (predictor) trainer (reference base/basePredictorTrainer.py +
+04_train_predictor.py).
+
+The frozen decomposition model encodes ``num_context + num_preds`` frames into
+slots (under stop_gradient), the predictor rolls out ``num_preds`` future
+slots (teacher forcing per config), the frozen decoder renders predicted
+frames, and the loss is pred_slot_mse + pred_img_mse. All of it — decomp
+encode, rollout (with cached text K/V), decode, loss, backward, update — is
+one jitted XLA program per step.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from textocvp_tpu.core.experiment import Experiment
+from textocvp_tpu.core.logger import Logger, print_
+from textocvp_tpu.data import DataLoader, load_data
+from textocvp_tpu.models import setup_model, setup_predictor
+from textocvp_tpu.parallel.mesh import get_mesh, shard_batch
+from textocvp_tpu.train.checkpoints import checkpoint_path, load_checkpoint, save_checkpoint
+from textocvp_tpu.train.losses import build_loss_fn
+from textocvp_tpu.train.schedulers import build_optimizer
+
+
+def _text_kwargs(others: dict) -> dict:
+    out = {}
+    for k in ("caption_tokens", "caption_lengths", "attn_masks"):
+        v = others.get(k)
+        if v is not None:
+            out[k] = jnp.asarray(v)
+    return out
+
+
+class PredictorTrainer:
+    """Trainer for slot predictors with a frozen stage-1 model."""
+
+    def __init__(self, exp_path, decomp_ckpt: str,
+                 checkpoint: Optional[str] = None, resume_training: bool = False):
+        self.exp = Experiment(exp_path)
+        Logger(self.exp.exp_path)
+        self.exp_params = self.exp.params
+        parent = self.exp.parent
+        if parent is None:
+            raise ValueError(f"{exp_path} is not a nested predictor experiment")
+        self.parent = parent
+        self.training_params = self.exp_params["training"]
+        self.prediction_params = self.exp_params["prediction_params"]
+        self.decomp_ckpt = decomp_ckpt
+        self.checkpoint = checkpoint
+        self.resume_training = resume_training
+
+        self.mesh = get_mesh(**(self.exp_params.get("tpu") or {}).get(
+            "mesh_axes", {"data": -1, "model": 1}))
+        self.decomp_model = setup_model(self.exp_params)
+        self.predictor = setup_predictor(self.exp_params)
+        self.loss_fn = build_loss_fn(self.exp_params["predictor_loss"])
+        self.start_epoch = 0
+        self.global_step = 0
+        self.writer = None
+
+    # ------------------------------------------------------------------ data
+    def load_data(self):
+        """Dataset with num_frames overridden to num_context + num_preds
+        (reference basePredictorTrainer.py:88-93)."""
+        num_frames = self.prediction_params["num_context"] + self.prediction_params["num_preds"]
+        exp_params = dict(self.exp_params)
+        exp_params["dataset"] = {**self.exp_params["dataset"], "num_frames": num_frames}
+        bs = self.training_params["batch_size"]
+        self.train_set = load_data(exp_params, split="train")
+        self.valid_set = load_data(exp_params, split="valid")
+        self.train_loader = DataLoader(
+            self.train_set, batch_size=bs,
+            shuffle=exp_params["dataset"].get("shuffle_train", True))
+        self.valid_loader = DataLoader(
+            self.valid_set, batch_size=bs,
+            shuffle=exp_params["dataset"].get("shuffle_eval", False))
+
+    # ----------------------------------------------------------------- model
+    def setup_model(self, sample_videos: np.ndarray, sample_text: Optional[dict] = None):
+        c = self.prediction_params["num_context"]
+        p = self.prediction_params["num_preds"]
+        videos = jnp.asarray(sample_videos[:1, : c + p])
+
+        # frozen decomposition model from the PARENT experiment
+        # (reference basePredictorTrainer.py:111-144)
+        init_rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
+        variables = self.decomp_model.init(init_rngs, videos, decode=True, train=False)
+        decomp_target = {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}) or {},
+        }
+        path = checkpoint_path(self.parent.models_dir, self.decomp_ckpt)
+        restored = load_checkpoint(path)
+        self.decomp_params = jax.device_put(
+            jax.tree_util.tree_map(
+                jnp.asarray,
+                {"params": restored["params"],
+                 "batch_stats": restored.get("batch_stats", {}) or {}},
+            )
+        )
+        del decomp_target
+
+        # predictor init
+        slot_sample = self.decomp_model.apply(
+            {"params": self.decomp_params["params"]}, videos, decode=False,
+            rngs={"slots": jax.random.PRNGKey(2)},
+        )["slot_history"]
+        text_kwargs = {k: v[:1] for k, v in _text_kwargs(sample_text or {}).items()}
+        pred_vars = self.predictor.init(
+            {"params": jax.random.PRNGKey(3)}, slot_sample, **text_kwargs
+        )
+        self.params = pred_vars["params"]
+
+        self.tx, self.lr_schedule = build_optimizer(self.training_params)
+        self.opt_state = self.tx.init(self.params)
+
+        if self.checkpoint is not None:
+            ckpt = load_checkpoint(
+                checkpoint_path(self.exp.models_dir, self.checkpoint),
+                target={"params": self.params, "opt_state": self.opt_state,
+                        "epoch": 0, "step": 0, "batch_stats": {}},
+            )
+            self.params = ckpt["params"]
+            if self.resume_training:
+                self.opt_state = ckpt["opt_state"]
+                self.start_epoch = int(ckpt["epoch"])
+                self.global_step = int(ckpt["step"])
+
+        self._build_steps()
+
+    def _build_steps(self):
+        decomp_model = self.decomp_model
+        decomp_params = self.decomp_params
+        predictor = self.predictor
+        loss_fn = self.loss_fn
+        tx = self.tx
+        c = self.prediction_params["num_context"]
+        p = self.prediction_params["num_preds"]
+        teacher_force = bool(self.prediction_params.get("teacher_force", False))
+        num_slots = self.exp_params["model"]["model_params"]["num_slots"]
+        slot_dim = self.exp_params["model"]["model_params"]["slot_dim"]
+        has_bn = bool(decomp_params.get("batch_stats"))
+
+        def decomp_vars():
+            v = {"params": decomp_params["params"]}
+            if has_bn:
+                v["batch_stats"] = decomp_params["batch_stats"]
+            return v
+
+        def forward_loss(params, videos, rng, text_kwargs, tf: bool):
+            videos = videos[:, : c + p]
+            b = videos.shape[0]
+            out = decomp_model.apply(
+                decomp_vars(), videos, decode=False, rngs={"slots": rng}
+            )
+            slot_history = jax.lax.stop_gradient(out["slot_history"])
+            pred_slots = predictor.apply(
+                {"params": params}, slot_history, teacher_force=tf, **text_kwargs
+            )
+            dec = decomp_model.apply(
+                decomp_vars(), pred_slots.reshape(b * p, num_slots, slot_dim),
+                method="decode",
+            )
+            pred_imgs = dec["recons_imgs"]
+            target_imgs = videos[:, c : c + p]
+            pred_imgs = pred_imgs.reshape(target_imgs.shape) \
+                if pred_imgs is not None and pred_imgs.size else None
+            tensors = {
+                "pred_slots": pred_slots,
+                "target_slots": slot_history[:, c : c + p],
+            }
+            if pred_imgs is not None:
+                tensors["pred_imgs"] = pred_imgs
+                tensors["target_imgs"] = target_imgs
+            total, values = loss_fn(**tensors)
+            return total, values
+
+        @partial(jax.jit, static_argnames=("tf",), donate_argnums=(0, 1))
+        def train_step(params, opt_state, videos, rng, tf, **text_kwargs):
+            (_, values), grads = jax.value_and_grad(
+                lambda q: forward_loss(q, videos, rng, text_kwargs, tf), has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, values
+
+        @partial(jax.jit, static_argnames=("tf",))
+        def valid_step(params, videos, rng, tf, **text_kwargs):
+            _, values = forward_loss(params, videos, rng, text_kwargs, tf)
+            return values
+
+        self.train_step = lambda params, opt_state, videos, rng, **tk: train_step(
+            params, opt_state, videos, rng, teacher_force, **tk)
+        self.valid_step = lambda params, videos, rng, **tk: valid_step(
+            params, videos, rng, False, **tk)
+
+    # ------------------------------------------------------------------ loop
+    def _rng(self):
+        self.global_step += 1
+        return jax.random.fold_in(jax.random.PRNGKey(14), self.global_step)
+
+    def _setup_writer(self):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.writer = SummaryWriter(log_dir=str(self.exp.exp_path / "tboard_logs"))
+        except Exception:
+            self.writer = None
+
+    def train_epoch(self, epoch: int) -> float:
+        losses = []
+        log_freq = self.training_params.get("log_frequency", 100)
+        max_iters = self.training_params.get("train_iters_per_epoch")
+        for i, (videos, others) in enumerate(self.train_loader):
+            if max_iters is not None and i >= max_iters:
+                break
+            batch = shard_batch(jnp.asarray(videos), self.mesh)
+            self.params, self.opt_state, values = self.train_step(
+                self.params, self.opt_state, batch, self._rng(), **_text_kwargs(others)
+            )
+            if i % log_freq == 0:
+                vals = {k: float(v) for k, v in values.items()}
+                if self.writer is not None:
+                    for k, v in vals.items():
+                        self.writer.add_scalar(f"train/{k}", v, self.global_step)
+                print_(f"  epoch {epoch} iter {i}: loss={vals['_total']:.6f}")
+            losses.append(float(values["_total"]))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def valid_epoch(self, epoch: int) -> float:
+        losses = []
+        for videos, others in self.valid_loader:
+            batch = shard_batch(jnp.asarray(videos), self.mesh)
+            values = self.valid_step(self.params, batch, self._rng(), **_text_kwargs(others))
+            losses.append(float(values["_total"]))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def _state(self, epoch: int) -> dict:
+        return {"params": self.params, "opt_state": self.opt_state,
+                "epoch": epoch, "step": self.global_step, "batch_stats": {}}
+
+    def training_loop(self):
+        self._setup_writer()
+        num_epochs = self.training_params["num_epochs"]
+        save_freq = self.training_params.get("save_frequency", 25)
+        epoch = self.start_epoch
+        try:
+            for epoch in range(self.start_epoch, num_epochs):
+                t0 = time.time()
+                val_loss = self.valid_epoch(epoch)
+                train_loss = self.train_epoch(epoch)
+                print_(
+                    f"Epoch {epoch + 1}/{num_epochs}: train={train_loss:.6f} "
+                    f"valid={val_loss:.6f} ({time.time() - t0:.1f}s)"
+                )
+                save_checkpoint(self.exp.models_dir, "checkpoint_last_saved",
+                                self._state(epoch + 1))
+                if (epoch + 1) % save_freq == 0:
+                    save_checkpoint(self.exp.models_dir, f"checkpoint_epoch_{epoch + 1}",
+                                    self._state(epoch + 1))
+            save_checkpoint(self.exp.models_dir, "checkpoint_epoch_final",
+                            self._state(num_epochs))
+        except (Exception, KeyboardInterrupt) as e:
+            save_checkpoint(self.exp.models_dir, f"emergency_checkpoint_epoch_{epoch}",
+                            self._state(epoch))
+            print_(f"Emergency checkpoint saved at epoch {epoch} ({type(e).__name__})", "error")
+            raise

@@ -1,0 +1,65 @@
+"""
+LR schedules and optimizer construction as optax transforms
+(reference src/lib/schedulers.py and lib/setup_model.py:286-361).
+
+Reference semantics: Adam at base lr, linear warmup over ``warmup_steps``
+iterations, then (optionally) cosine annealing to eta_min=1e-7 over
+``scheduler_steps`` iterations, stepped per-iteration; global-norm-free
+gradient clipping by VALUE range is not used — the reference clips by norm via
+``clip_grad_norm_(max_value)`` — so we apply optax.clip_by_global_norm.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import optax
+
+ETA_MIN = 1e-7
+
+
+def build_lr_schedule(training_params: dict) -> optax.Schedule:
+    lr = training_params["lr"]
+    warmup_steps = int(training_params.get("warmup_steps", 0)) \
+        if training_params.get("lr_warmup", False) else 0
+    scheduler = training_params.get("scheduler", "")
+    scheduler_steps = int(training_params.get("scheduler_steps", 1e6))
+
+    if scheduler in ("cosine_annealing", "cosine"):
+        main = optax.cosine_decay_schedule(
+            init_value=lr, decay_steps=scheduler_steps, alpha=ETA_MIN / lr
+        )
+    elif scheduler in ("", "none", None, "constant"):
+        main = optax.constant_schedule(lr)
+    elif scheduler == "exponential":
+        main = optax.exponential_decay(
+            init_value=lr,
+            transition_steps=int(training_params.get("scheduler_steps", 10000)),
+            decay_rate=training_params.get("lr_factor", 0.5),
+        )
+    else:
+        raise NameError(f"Unknown scheduler {scheduler!r}")
+
+    if warmup_steps > 0:
+        warmup = optax.linear_schedule(0.0, lr, transition_steps=warmup_steps)
+        return optax.join_schedules([warmup, main], [warmup_steps])
+    return main
+
+
+def build_optimizer(training_params: dict,
+                    freeze_mask=None) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    """Adam + clipping + schedule; optionally zeroes updates for frozen
+    subtrees (e.g. the DINOv2 backbone) via a boolean pytree mask."""
+    schedule = build_lr_schedule(training_params)
+    chain = []
+    if training_params.get("gradient_clipping", False):
+        chain.append(optax.clip_by_global_norm(training_params["clipping_max_value"]))
+    chain.append(optax.scale_by_adam())
+    chain.append(optax.scale_by_learning_rate(schedule))
+    tx = optax.chain(*chain)
+    if freeze_mask is not None:
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            freeze_mask,
+        )
+    return tx, schedule

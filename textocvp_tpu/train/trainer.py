@@ -1,0 +1,266 @@
+"""
+Stage-1 (decomposition) trainer — the TPU-native counterpart of the
+reference's BaseTrainer + 02_train_* scripts (reference base/baseTrainer.py,
+02_train_savi.py, 02_train_extended_dinosaur.py).
+
+Semantics preserved from the reference:
+* validation epoch runs BEFORE each training epoch (baseTrainer.py:159-165)
+* checkpoint cadence: last-saved every epoch, numbered every save_frequency,
+  final at the end, emergency on crash/interrupt (baseTrainer.py:185-195)
+* Adam + linear warmup + per-iteration cosine annealing, grad clip 0.05
+* SAVi loss: MSE on [0,1]-clamped reconstructions; ExtendedDINOSAUR adds the
+  clamped DINO-feature MSE (02_train_extended_dinosaur.py:57-62)
+
+TPU-native execution: one jitted train step (forward+backward+update) with the
+batch sharded over the mesh 'data' axis and replicated params — XLA emits the
+gradient all-reduce; buffers are donated so the optimizer updates in place.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from textocvp_tpu.core.experiment import Experiment
+from textocvp_tpu.core.logger import Logger, print_
+from textocvp_tpu.data import DataLoader, load_data
+from textocvp_tpu.models import setup_model
+from textocvp_tpu.parallel.mesh import get_mesh, shard_batch
+from textocvp_tpu.train.checkpoints import checkpoint_path, load_checkpoint, save_checkpoint
+from textocvp_tpu.train.losses import build_loss_fn
+from textocvp_tpu.train.schedulers import build_optimizer
+
+
+def freeze_labels(params, frozen_prefixes: tuple[str, ...]):
+    """Label pytree for optax.multi_transform: 'freeze' for frozen subtrees."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    labels = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    for path, _ in flat:
+        keys = tuple(p.key for p in path)
+        label = "freeze" if any(keys[0] == fp for fp in frozen_prefixes) else "train"
+        put(labels, keys, label)
+    return labels
+
+
+class DecompTrainer:
+    """Trainer for SAVi / ExtendedDINOSAUR decomposition models."""
+
+    def __init__(self, exp_path, checkpoint: Optional[str] = None,
+                 resume_training: bool = False):
+        self.exp = Experiment(exp_path)
+        Logger(self.exp.exp_path)
+        self.exp_params = self.exp.params
+        self.model_name = self.exp_params["model"]["model_name"]
+        self.training_params = self.exp_params["training"]
+        self.checkpoint = checkpoint
+        self.resume_training = resume_training
+
+        self.mesh = get_mesh(**(self.exp_params.get("tpu") or {}).get(
+            "mesh_axes", {"data": -1, "model": 1}))
+        self.model = setup_model(self.exp_params)
+        self.loss_fn = build_loss_fn(self.exp_params["loss"])
+        self.start_epoch = 0
+        self.global_step = 0
+        self.writer = None
+
+    # ------------------------------------------------------------------ data
+    def load_data(self):
+        bs = self.training_params["batch_size"]
+        self.train_set = load_data(self.exp_params, split="train")
+        self.valid_set = load_data(self.exp_params, split="valid")
+        self.train_loader = DataLoader(
+            self.train_set, batch_size=bs,
+            shuffle=self.exp_params["dataset"].get("shuffle_train", True))
+        self.valid_loader = DataLoader(
+            self.valid_set, batch_size=bs,
+            shuffle=self.exp_params["dataset"].get("shuffle_eval", False))
+        print_(f"Loaded {len(self.train_set)} train / {len(self.valid_set)} valid sequences")
+
+    # ----------------------------------------------------------------- model
+    def setup_model(self, sample_videos: np.ndarray):
+        """Initialize params (or restore a checkpoint) and build the jitted steps."""
+        init_rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
+        variables = self.model.init(init_rngs, jnp.asarray(sample_videos[:1]), train=False)
+        params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", None)
+
+        frozen = ("image_encoder",) if self.model_name == "ExtendedDINOSAUR" else ()
+        mask = freeze_labels(params, frozen) if frozen else None
+        self.tx, self.lr_schedule = build_optimizer(self.training_params, freeze_mask=mask)
+        opt_state = self.tx.init(params)
+
+        self.params = params
+        self.opt_state = opt_state
+
+        if self.checkpoint is not None:
+            path = checkpoint_path(self.exp.models_dir, self.checkpoint)
+            target = {
+                "params": params,
+                "batch_stats": self.batch_stats or {},
+                "opt_state": opt_state,
+                "epoch": 0,
+                "step": 0,
+            }
+            state = load_checkpoint(path, target=target)
+            self.params = state["params"]
+            if self.batch_stats is not None:
+                self.batch_stats = state["batch_stats"]
+            if self.resume_training:
+                self.opt_state = state["opt_state"]
+                self.start_epoch = int(state["epoch"])
+                self.global_step = int(state["step"])
+                print_(f"Resuming training from epoch {self.start_epoch}")
+
+        self._build_steps()
+
+    def _loss_tensors(self, out: dict, videos: jax.Array) -> dict:
+        if self.model_name == "ExtendedDINOSAUR":
+            return {
+                "preds_feats": jnp.clip(out["recons_feats"], 0, 1),
+                "targets_feats": jnp.clip(out["encoded_img_feats"], 0, 1),
+                "pred_imgs": jnp.clip(out["recons_imgs"], 0, 1),
+                "target_imgs": jnp.clip(videos, 0, 1),
+            }
+        return {
+            "pred_imgs": jnp.clip(out["recons_imgs"], 0, 1),
+            "target_imgs": jnp.clip(videos, 0, 1),
+        }
+
+    def _build_steps(self):
+        model, loss_fn = self.model, self.loss_fn
+        tx = self.tx
+        has_bn = self.batch_stats is not None
+
+        def forward(params, batch_stats, videos, rng, train: bool):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = batch_stats
+            if train and has_bn:
+                out, mut = model.apply(variables, videos, train=True,
+                                       rngs={"slots": rng}, mutable=["batch_stats"])
+                return out, mut.get("batch_stats")
+            out = model.apply(variables, videos, train=False, rngs={"slots": rng})
+            return out, batch_stats
+
+        @partial(jax.jit, donate_argnums=(0, 1, 2))
+        def train_step(params, batch_stats, opt_state, videos, rng):
+            def loss_of(p):
+                out, new_bs = forward(p, batch_stats, videos, rng, train=True)
+                total, values = loss_fn(**self._loss_tensors(out, videos))
+                return total, (values, new_bs)
+
+            (_, (values, new_bs)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, new_bs, opt_state, values
+
+        @jax.jit
+        def valid_step(params, batch_stats, videos, rng):
+            out, _ = forward(params, batch_stats, videos, rng, train=False)
+            _, values = loss_fn(**self._loss_tensors(out, videos))
+            return values
+
+        self.train_step = train_step
+        self.valid_step = valid_step
+
+    # ------------------------------------------------------------------ loop
+    def _rng(self):
+        key = jax.random.PRNGKey(14)
+        self.global_step += 1
+        return jax.random.fold_in(key, self.global_step)
+
+    def _log_scalars(self, values: dict, prefix: str):
+        if self.writer is None:
+            return
+        for k, v in values.items():
+            self.writer.add_scalar(f"{prefix}/{k}", float(v), self.global_step)
+
+    def _setup_writer(self):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self.writer = SummaryWriter(log_dir=str(self.exp.exp_path / "tboard_logs"))
+        except Exception:
+            self.writer = None
+
+    def train_epoch(self, epoch: int) -> float:
+        losses = []
+        log_freq = self.training_params.get("log_frequency", 100)
+        for i, (videos, _) in enumerate(self.train_loader):
+            videos = shard_batch(jnp.asarray(videos), self.mesh)
+            self.params, self.batch_stats, self.opt_state, values = self.train_step(
+                self.params, self.batch_stats, self.opt_state, videos, self._rng()
+            )
+            if i % log_freq == 0:
+                vals = {k: float(v) for k, v in values.items()}
+                self._log_scalars(vals, "train")
+                if self.writer is not None:
+                    self.writer.add_scalar(
+                        "train/lr", float(self.lr_schedule(self.global_step)), self.global_step
+                    )
+                print_(f"  epoch {epoch} iter {i}: loss={vals['_total']:.6f}")
+            losses.append(float(values["_total"]))
+        return float(np.mean(losses)) if losses else float("nan")
+
+    def valid_epoch(self, epoch: int) -> float:
+        losses = []
+        for videos, _ in self.valid_loader:
+            videos = shard_batch(jnp.asarray(videos), self.mesh)
+            values = self.valid_step(self.params, self.batch_stats, videos, self._rng())
+            losses.append(float(values["_total"]))
+        mean = float(np.mean(losses)) if losses else float("nan")
+        self._log_scalars({"_total": mean}, "valid")
+        return mean
+
+    def _state(self, epoch: int) -> dict:
+        return {
+            "params": self.params,
+            "batch_stats": self.batch_stats or {},
+            "opt_state": self.opt_state,
+            "epoch": epoch,
+            "step": self.global_step,
+        }
+
+    def training_loop(self):
+        """Epoch loop with emergency checkpointing (reference
+        setup_model.py:244-276 and baseTrainer.py:148-196)."""
+        self._setup_writer()
+        num_epochs = self.training_params["num_epochs"]
+        save_freq = self.training_params.get("save_frequency", 25)
+        epoch = self.start_epoch
+        try:
+            for epoch in range(self.start_epoch, num_epochs):
+                t0 = time.time()
+                val_loss = self.valid_epoch(epoch)
+                train_loss = self.train_epoch(epoch)
+                dt = time.time() - t0
+                print_(
+                    f"Epoch {epoch + 1}/{num_epochs}: train={train_loss:.6f} "
+                    f"valid={val_loss:.6f} ({dt:.1f}s)"
+                )
+                save_checkpoint(self.exp.models_dir, "checkpoint_last_saved",
+                                self._state(epoch + 1))
+                if (epoch + 1) % save_freq == 0:
+                    save_checkpoint(self.exp.models_dir, f"checkpoint_epoch_{epoch + 1}",
+                                    self._state(epoch + 1))
+            save_checkpoint(self.exp.models_dir, "checkpoint_epoch_final",
+                            self._state(num_epochs))
+        except (Exception, KeyboardInterrupt) as e:
+            save_checkpoint(self.exp.models_dir, f"emergency_checkpoint_epoch_{epoch}",
+                            self._state(epoch))
+            print_(f"Emergency checkpoint saved at epoch {epoch} ({type(e).__name__})", "error")
+            raise
