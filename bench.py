@@ -16,14 +16,17 @@ publishes no numbers (BASELINE.md), so this constant is an engineering
 estimate (per-step Python-loop latency of the torch rollout at batch 8,
 documented in BASELINE.md) to be replaced by a measured value when the
 released checkpoints + GPU hardware are available.
+
+Timing methodology: each timed step fetches a scalar reduction of the decoded
+frames to the host — on remote-attached TPU runtimes ``block_until_ready`` can
+return before remote execution finishes, so a D2H fetch is the only reliable
+synchronization point.
 """
 
 import argparse
 import json
 import sys
 import time
-
-import numpy as np
 
 REF_GPU_FPS = 250.0  # estimated reference GPU predicted-frames/sec/chip
 
@@ -53,16 +56,22 @@ def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pall
     tokens = jax.random.randint(jax.random.PRNGKey(1), (batch_size, 20), 2, 30000)
     attn_masks = jnp.ones((batch_size, 20), dtype=jnp.int32)
 
+    # jit the initializers: eager init dispatches thousands of tiny ops, which
+    # is pathologically slow over remote-attached device transports
     init_rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
-    model_vars = model.init(init_rngs, videos, decode=True, train=False)
-    slot_sample = model.apply(model_vars, videos, decode=False,
-                              rngs={"slots": jax.random.PRNGKey(2)})["slot_history"]
-    pred_vars = predictor.init({"params": jax.random.PRNGKey(3)}, slot_sample,
-                               caption_tokens=tokens, attn_masks=attn_masks)
+    model_vars = jax.jit(
+        lambda r, x: model.init(r, x, decode=True, train=False)
+    )(init_rngs, videos)
+    slot_sample = jax.jit(
+        lambda mv, x, key: model.apply(mv, x, decode=False, rngs={"slots": key})
+    )(model_vars, videos, jax.random.PRNGKey(2))["slot_history"]
+    pred_vars = jax.jit(
+        lambda r, s, t, m: predictor.init(r, s, caption_tokens=t, attn_masks=m)
+    )({"params": jax.random.PRNGKey(3)}, slot_sample, tokens, attn_masks)
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
     def eval_step(model_params, pred_params, videos, tokens, attn_masks, key):
         b = videos.shape[0]
         out = model.apply(model_params, videos, decode=False, rngs={"slots": key})
@@ -72,7 +81,8 @@ def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pall
         )
         dec = model.apply(model_params, pred_slots.reshape(b * num_preds, num_slots, slot_dim),
                           method="decode")
-        return jnp.clip(dec["recons_imgs"], 0, 1)
+        imgs = jnp.clip(dec["recons_imgs"], 0, 1)
+        return imgs, jnp.sum(imgs)
 
     return eval_step, (model_vars, pred_vars, videos, tokens, attn_masks)
 
@@ -81,7 +91,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--num_preds", type=int, default=19)
-    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     parser.add_argument("--pallas", action="store_true", default=False)
     args = parser.parse_args()
@@ -91,32 +101,37 @@ def main():
     n_chips = jax.local_device_count()
     print(f"devices: {jax.devices()}", file=sys.stderr)
 
+    t0 = time.perf_counter()
     eval_step, (model_vars, pred_vars, videos, tokens, attn_masks) = build_flagship(
         args.batch_size, args.num_preds, args.dtype, args.pallas
     )
+    print(f"build+init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     key = jax.random.PRNGKey(7)
     t0 = time.perf_counter()
-    out = eval_step(model_vars, pred_vars, videos, tokens, attn_masks, key)
-    out.block_until_ready()
-    compile_s = time.perf_counter() - t0
-    print(f"compile+first-step: {compile_s:.1f}s", file=sys.stderr)
+    _, s = eval_step(model_vars, pred_vars, videos, tokens, attn_masks, key)
+    float(s)  # D2H fetch = reliable sync
+    print(f"compile+first-step: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     # warmup
     for i in range(2):
-        eval_step(model_vars, pred_vars, videos, tokens, attn_masks,
-                  jax.random.fold_in(key, i)).block_until_ready()
+        _, s = eval_step(model_vars, pred_vars, videos, tokens, attn_masks,
+                         jax.random.fold_in(key, i))
+        float(s)
 
-    t0 = time.perf_counter()
+    times = []
     for i in range(args.iters):
-        out = eval_step(model_vars, pred_vars, videos, tokens, attn_masks,
-                        jax.random.fold_in(key, 100 + i))
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _, s = eval_step(model_vars, pred_vars, videos, tokens, attn_masks,
+                         jax.random.fold_in(key, 100 + i))
+        float(s)
+        times.append(time.perf_counter() - t0)
 
+    dt = sum(times)
+    step_ms = 1000 * dt / args.iters
     frames = args.batch_size * args.num_preds * args.iters
     fps_per_chip = frames / dt / n_chips
-    print(f"step time: {dt / args.iters * 1000:.2f} ms  "
+    print(f"step time: {step_ms:.2f} ms (min {1000 * min(times):.2f})  "
           f"({frames} frames in {dt:.2f}s on {n_chips} chip)", file=sys.stderr)
 
     print(json.dumps({
