@@ -112,6 +112,45 @@ def test_wrapper_respects_buffer_size():
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), rtol=1e-5, atol=1e-6)
 
 
+def test_scan_rollout_matches_python_unroll():
+    """The lax.scan steady-state must be bit-equivalent to the reference-style
+    python sliding-window rollout."""
+    pred = VanillaTransformerPredictor(
+        num_slots=S, slot_dim=D, token_dim=16, hidden_dim=32,
+        num_layers=1, n_heads=2, residual=True, input_buffer_size=3,
+    )
+    wrapper = PredictorWrapper(predictor=pred, num_context=1, num_preds=7,
+                               teacher_force=False, input_buffer_size=3)
+    hist = _slots(9, 8)
+    params = wrapper.init(jax.random.PRNGKey(1), hist)
+    out = wrapper.apply(params, hist)
+
+    # manual reference rollout with the inner predictor
+    pred_params = {"params": params["params"]["predictor"]}
+    window = [hist[:, 0]]
+    manual = []
+    for t in range(7):
+        cur = pred.apply(pred_params, jnp.stack(window, axis=1))
+        manual.append(cur)
+        window.append(cur)
+        window = window[-3:]
+    manual = jnp.stack(manual, axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(manual), rtol=2e-5, atol=1e-5)
+
+    # teacher-forced path equivalence
+    out_tf = wrapper.apply(params, hist, teacher_force=True)
+    window = [hist[:, 0]]
+    manual_tf = []
+    for t in range(7):
+        cur = pred.apply(pred_params, jnp.stack(window, axis=1))
+        manual_tf.append(cur)
+        window.append(hist[:, 1 + t])
+        window = window[-3:]
+    manual_tf = jnp.stack(manual_tf, axis=1)
+    np.testing.assert_allclose(np.asarray(out_tf), np.asarray(manual_tf),
+                               rtol=2e-5, atol=1e-5)
+
+
 def test_rollout_jits_as_one_program():
     pred = _tiny_textocvp()
     wrapper = PredictorWrapper(predictor=pred, num_context=1, num_preds=4,

@@ -342,6 +342,12 @@ class PredictorWrapper(nn.Module):
         """
         slot_history: (B, T, S, D) with T >= num_context (+ num_preds if
         teacher forcing). Returns predicted slots (B, num_preds, S, D).
+
+        Warmup steps (window still growing towards ``input_buffer_size``) are
+        statically unrolled — each window length is its own shape; the
+        steady-state steps (window pinned at the buffer size) run under
+        ``lax.scan``, which keeps XLA graph size and compile time flat in
+        ``num_preds``.
         """
         num_preds = self.num_preds if num_preds is None else num_preds
         teacher_force = self.teacher_force if teacher_force is None else teacher_force
@@ -358,16 +364,57 @@ class PredictorWrapper(nn.Module):
             )
             text_kv = self.predictor.precompute_text_kv(text_embeddings)
 
+        def step(window_arr):
+            if is_text:
+                return self.predictor(window_arr, text_kv=text_kv,
+                                      deterministic=deterministic)
+            return self.predictor(window_arr, deterministic=deterministic)
+
         window = [slot_history[:, i] for i in range(self.num_context)]
         preds = []
-        for t in range(num_preds):
-            inp = jnp.stack(window, axis=1)
-            if is_text:
-                cur = self.predictor(inp, text_kv=text_kv, deterministic=deterministic)
-            else:
-                cur = self.predictor(inp, deterministic=deterministic)
+        t = 0
+        # ---- warmup: unroll while the window is still growing
+        while t < num_preds and len(window) < self.buffer_size:
+            cur = step(jnp.stack(window, axis=1))
             preds.append(cur)
             nxt = slot_history[:, self.num_context + t] if teacher_force else cur
             window.append(nxt)
             window = window[-self.buffer_size:]
-        return jnp.stack(preds, axis=1)
+            t += 1
+
+        remaining = num_preds - t
+        if remaining <= 0:
+            return jnp.stack(preds, axis=1)
+        if remaining == 1:
+            preds.append(step(jnp.stack(window, axis=1)))
+            return jnp.stack(preds, axis=1)
+
+        # ---- steady state: fixed-size window under lax.scan
+        buf = jnp.stack(window, axis=1)  # (B, L, S, D)
+        if teacher_force:
+            gt_rest = slot_history[:, self.num_context + t : self.num_context + num_preds]
+            xs = jnp.moveaxis(gt_rest, 1, 0)  # (steps, B, S, D)
+        else:
+            xs = None
+
+        def body(mdl, buf, x):
+            if is_text:
+                cur = mdl(buf, text_kv=text_kv, deterministic=deterministic)
+            else:
+                cur = mdl(buf, deterministic=deterministic)
+            nxt = x if teacher_force else cur
+            buf = jnp.concatenate([buf[:, 1:], nxt[:, None]], axis=1)
+            return buf, cur
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            length=remaining,
+        )
+        _, rest = scan(self.predictor, buf, xs)  # rest: (steps, B, S, D)
+        preds_arr = jnp.stack(preds, axis=1) if preds else None
+        rest = jnp.moveaxis(rest, 0, 1)  # (B, steps, S, D)
+        if preds_arr is None:
+            return rest
+        return jnp.concatenate([preds_arr, rest], axis=1)

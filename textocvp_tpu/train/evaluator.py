@@ -96,8 +96,23 @@ class DecompEvaluator:
         self.metric_tracker.aggregate()
         results = self.metric_tracker.to_json()
         self.exp.save_results(self.results_name, results)
+        _save_framewise_plots(self.exp, self.results_name, results, start_x=0)
         print_(f"Results: { {k: v['mean'] for k, v in results.items()} }")
         return results
+
+
+def _save_framewise_plots(exp, results_name: str, results: dict, start_x: int = 0):
+    """Per-frame metric curves next to results.json (reference
+    metrics.py:128-144, baseEvaluator.py:211-216)."""
+    from textocvp_tpu.viz.figures import visualize_metric
+
+    out_dir = exp.results_dir(results_name)
+    for metric, vals in results.items():
+        if isinstance(vals, dict) and "framewise" in vals:
+            visualize_metric(
+                vals["framewise"], savepath=out_dir / f"{metric}_framewise.png",
+                title=metric, start_x=start_x,
+            )
 
 
 class PredictorEvaluator:
@@ -205,5 +220,6 @@ class PredictorEvaluator:
         self.metric_tracker.aggregate()
         results = self.metric_tracker.to_json()
         self.exp.save_results(self.results_name, results)
+        _save_framewise_plots(self.exp, self.results_name, results, start_x=self.num_context)
         print_(f"Results: { {k: v['mean'] for k, v in results.items()} }")
         return results

@@ -174,8 +174,14 @@ class DecompTrainer:
             _, values = loss_fn(**self._loss_tensors(out, videos))
             return values
 
+        @jax.jit
+        def valid_forward(params, batch_stats, videos, rng):
+            out, _ = forward(params, batch_stats, videos, rng, train=False)
+            return out
+
         self.train_step = train_step
         self.valid_step = valid_step
+        self.valid_forward = valid_forward
 
     # ------------------------------------------------------------------ loop
     def _rng(self):
@@ -200,6 +206,7 @@ class DecompTrainer:
     def train_epoch(self, epoch: int) -> float:
         losses = []
         log_freq = self.training_params.get("log_frequency", 100)
+        img_freq = self.training_params.get("image_log_frequency", 300)
         for i, (videos, _) in enumerate(self.train_loader):
             videos = shard_batch(jnp.asarray(videos), self.mesh)
             self.params, self.batch_stats, self.opt_state, values = self.train_step(
@@ -213,8 +220,25 @@ class DecompTrainer:
                         "train/lr", float(self.lr_schedule(self.global_step)), self.global_step
                     )
                 print_(f"  epoch {epoch} iter {i}: loss={vals['_total']:.6f}")
+            if self.writer is not None and i % img_freq == 0:
+                self._log_images(videos)
             losses.append(float(values["_total"]))
         return float(np.mean(losses)) if losses else float("nan")
+
+    def _log_images(self, videos):
+        """GT vs reconstruction image panel to TensorBoard every
+        image_log_frequency iterations (reference 02_train_savi.py:78-137)."""
+        try:
+            out = self.valid_forward(self.params, self.batch_stats, videos[:1], self._rng())
+            recons = np.clip(np.asarray(out["recons_imgs"][0]), 0, 1)  # (T, H, W, C)
+            gt = np.clip(np.asarray(videos[0]), 0, 1)
+            panel = np.concatenate([gt, recons], axis=1)  # stack vertically per frame
+            strip = np.concatenate(list(panel), axis=1)   # frames left-to-right
+            self.writer.add_image(
+                "train/recons", strip.transpose(2, 0, 1), self.global_step
+            )
+        except Exception:
+            pass  # image logging must never break training
 
     def valid_epoch(self, epoch: int) -> float:
         losses = []
@@ -235,10 +259,27 @@ class DecompTrainer:
             "step": self.global_step,
         }
 
+    def log_architecture(self):
+        """Dump the module structure to model_architecture.txt
+        (reference lib/utils.py:90-129)."""
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
+        with open(self.exp.exp_path / "model_architecture.txt", "w") as f:
+            f.write(str(self.model) + "\n")
+            f.write(f"\nLearnable parameters: {n_params}\n")
+
     def training_loop(self):
         """Epoch loop with emergency checkpointing (reference
-        setup_model.py:244-276 and baseTrainer.py:148-196)."""
+        setup_model.py:244-276 and baseTrainer.py:148-196).
+
+        Set TEXTOCVP_PROFILE=<dir> to capture a jax.profiler trace of the
+        first training epoch."""
         self._setup_writer()
+        self.log_architecture()
+        import os
+
+        profile_dir = os.environ.get("TEXTOCVP_PROFILE")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         num_epochs = self.training_params["num_epochs"]
         save_freq = self.training_params.get("save_frequency", 25)
         epoch = self.start_epoch
@@ -257,6 +298,9 @@ class DecompTrainer:
                 if (epoch + 1) % save_freq == 0:
                     save_checkpoint(self.exp.models_dir, f"checkpoint_epoch_{epoch + 1}",
                                     self._state(epoch + 1))
+                if profile_dir and epoch == self.start_epoch:
+                    jax.profiler.stop_trace()
+                    profile_dir = None
             save_checkpoint(self.exp.models_dir, "checkpoint_epoch_final",
                             self._state(num_epochs))
         except (Exception, KeyboardInterrupt) as e:
