@@ -1,0 +1,92 @@
+"""End-to-end ExtendedDINOSAUR training on the synthetic dataset (tiny ViT),
+including the BatchNorm CNN image head and the frozen-encoder optimizer mask."""
+
+import numpy as np
+import pytest
+
+from textocvp_tpu.core.experiment import Experiment
+
+
+@pytest.fixture(scope="module")
+def dinosaur_exp(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("dino_e2e")
+    exp = Experiment.create(tmp_path / "exp_dino", "ExtendedDINOSAUR", "Synthetic")
+    params = exp.params
+    mp = params["model"]["model_params"]
+    mp.update(img_size=28, num_slots=3, slot_dim=16, mlp_hidden=16, mlp_encoder_dim=384)
+    mp["encoder"] = {
+        "encoder_name": "vit_small_patch14_dinov2",
+        "encoder_params": {"encoder_num_blocks": 1},
+    }
+    # 28/14 = 2 -> 4 patches; out_dim = ViT-small feature dim (384) + alpha
+    mp["decoder"]["decoder_params"].update(
+        num_patches=4, in_dim=16, hidden_dim=32, out_dim=385, num_layers=2,
+        patch_size=14, num_layers_cnn=2, reconstruct_images=True,
+    )
+    mp["transition_module"] = {"model_name": "TransformerBlock", "num_heads": 2,
+                               "mlp_size": 16}
+    params["dataset"].update(
+        img_size=[28, 28], num_frames=3, num_train_seqs=8, num_eval_seqs=8,
+        tokenizer="CustomTokenizer", total_frames=6,
+    )
+    params["training"].update(num_epochs=1, batch_size=8, log_frequency=1,
+                              save_frequency=1, warmup_steps=2)
+    exp.save_params(params)
+    return exp
+
+
+def test_dinosaur_training_and_eval(dinosaur_exp):
+    from textocvp_tpu.train.trainer import DecompTrainer
+
+    trainer = DecompTrainer(dinosaur_exp.exp_path)
+    trainer.load_data()
+    videos, _ = next(iter(trainer.train_loader))
+    trainer.setup_model(videos)
+    assert trainer.batch_stats is not None  # CNN head has BatchNorm
+    trainer.training_loop()
+    names = {m.stem for m in dinosaur_exp.models_dir.glob("*.msgpack")}
+    assert "checkpoint_epoch_final" in names
+
+    # dual loss was configured automatically for ExtendedDINOSAUR
+    assert {s["type"] for s in dinosaur_exp.params["loss"]} == {"pred_feature_mse", "mse"}
+
+    from textocvp_tpu.train.evaluator import DecompEvaluator
+
+    ev = DecompEvaluator(dinosaur_exp.exp_path, "checkpoint_epoch_final",
+                         batch_size=8, metrics=("psnr",))
+    ev.load_data()
+    vids, _ = next(iter(ev.test_loader))
+    ev.load_model(vids)
+    results = ev.evaluate()
+    assert np.isfinite(results["psnr"]["mean"])
+
+
+def test_frozen_encoder_not_updated(dinosaur_exp):
+    """The DINOv2 backbone must stay frozen during training
+    (reference ExtendedDINOSAUR.py:94)."""
+    import jax
+
+    from textocvp_tpu.train.checkpoints import checkpoint_path, load_checkpoint
+
+    # epoch_1 vs final: encoder params identical, other params changed
+    ck1 = load_checkpoint(checkpoint_path(dinosaur_exp.models_dir, "checkpoint_epoch_1"))
+    # with 1 epoch, final == epoch_1; re-train another epoch for a diff
+    from textocvp_tpu.train.trainer import DecompTrainer
+
+    trainer = DecompTrainer(dinosaur_exp.exp_path, checkpoint="checkpoint_epoch_final",
+                            resume_training=True)
+    trainer.load_data()
+    videos, _ = next(iter(trainer.train_loader))
+    trainer.setup_model(videos)
+    trainer.training_params["num_epochs"] = 2
+    trainer.training_loop()
+    ck2 = load_checkpoint(checkpoint_path(dinosaur_exp.models_dir, "checkpoint_epoch_2"))
+
+    enc1 = jax.tree_util.tree_leaves(ck1["params"]["image_encoder"])
+    enc2 = jax.tree_util.tree_leaves(ck2["params"]["image_encoder"])
+    for a, b in zip(enc1, enc2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    sa1 = jax.tree_util.tree_leaves(ck1["params"]["slot_attention"])
+    sa2 = jax.tree_util.tree_leaves(ck2["params"]["slot_attention"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(sa1, sa2))
