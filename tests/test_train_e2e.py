@@ -101,6 +101,45 @@ def test_predictor_training_checkpoints(trained_predictor):
     assert "checkpoint_epoch_final" in names
 
 
+def test_decomp_fig_generation(trained_exp):
+    from textocvp_tpu.train.fig_generation import DecompFigGenerator
+
+    gen = DecompFigGenerator(trained_exp.exp_path, "checkpoint_epoch_final", num_seqs=2)
+    gen.load_data()
+    videos, _ = next(iter(gen.test_loader))
+    gen.load_model(videos)
+    out_dir = gen.generate_figs()
+    seq_dirs = sorted(out_dir.glob("sequence_*"))
+    assert len(seq_dirs) == 2
+    assert (seq_dirs[0] / "recons.png").exists()
+    assert (seq_dirs[0] / "recons.gif").exists()
+    assert (seq_dirs[0] / "objects.png").exists()
+    assert (seq_dirs[0] / "segmentation.png").exists()
+
+
+def test_predictor_fig_generation(trained_exp, trained_predictor):
+    from textocvp_tpu.train.fig_generation import PredictorFigGenerator
+
+    gen = PredictorFigGenerator(
+        trained_exp.exp_path, "pred_tiny",
+        decomp_ckpt="checkpoint_epoch_final", pred_ckpt="checkpoint_epoch_final",
+        num_seed=1, num_preds=2, num_seqs=2,
+    )
+    gen.load_data()
+    videos, others = next(iter(gen.test_loader))
+    gen.load_models(videos, others)
+    out_dir = gen.generate_figs()
+    seq_dirs = sorted(out_dir.glob("sequence_*"))
+    assert len(seq_dirs) == 2
+    d = seq_dirs[0]
+    assert (d / "qualitative.png").exists()
+    assert (d / "prediction.gif").exists()
+    assert (d / "ground_truth.gif").exists()
+    assert "ball" in (d / "prompt.txt").read_text()
+    # per-seq metrics in the directory name (reference 06:83-92)
+    assert "psnr=" in d.name and "lpips=" in d.name
+
+
 def test_predictor_evaluation_one_program(trained_exp, trained_predictor):
     from textocvp_tpu.train.evaluator import PredictorEvaluator
 
