@@ -174,6 +174,47 @@ def make_gif(frames, savepath, n_seed: int = 0, upscale: int = 2, fps: int = 4):
     return savepath
 
 
+def visualize_aligned_slots(recons_objs, savepath=None, vmin: float = 0, vmax: float = 1):
+    """Per-slot reconstructions (S, H, W, C) in one row, slot index as title
+    (reference visualizations.py:278-310)."""
+    import matplotlib.pyplot as plt
+
+    objs = np.clip(_to_numpy(recons_objs), vmin, vmax)
+    s = objs.shape[0]
+    fig, axes = plt.subplots(1, s, figsize=(2 * s, 2.2), squeeze=False)
+    for i in range(s):
+        axes[0][i].imshow(objs[i])
+        axes[0][i].set_title(f"Slot {i}", fontsize=8)
+        axes[0][i].axis("off")
+    return _save_or_show(fig, savepath)
+
+
+def process_objs_masks_dinosaur(frames, masks, out_size: int = 96) -> np.ndarray:
+    """Crop per-object views for DINOSAUR-style models: upsample the patch-grid
+    alpha masks to the frame resolution and mask the frames, resized to
+    out_size (reference visualizations.py:432-451).
+
+    frames: (T, H, W, C); masks: (T, S, 1, gh, gw). Returns (T, S, out, out, C).
+    """
+    from PIL import Image
+
+    frames = _to_numpy(frames)
+    masks = _to_numpy(masks)
+    t, s = masks.shape[:2]
+    c = frames.shape[-1]
+    out = np.zeros((t, s, out_size, out_size, c), dtype=np.float32)
+    for ti in range(t):
+        frame = Image.fromarray((np.clip(frames[ti], 0, 1) * 255).astype(np.uint8))
+        frame = np.asarray(frame.resize((out_size, out_size), Image.BILINEAR),
+                           dtype=np.float32) / 255.0
+        for si in range(s):
+            m = Image.fromarray((np.clip(masks[ti, si, 0], 0, 1) * 255).astype(np.uint8))
+            m = np.asarray(m.resize((out_size, out_size), Image.BILINEAR),
+                           dtype=np.float32) / 255.0
+            out[ti, si] = frame * m[..., None]
+    return out
+
+
 def visualize_metric(values: Sequence[float], savepath=None, title: str = "",
                      start_x: int = 0, xlabel: str = "Frame"):
     """Per-frame metric curve (reference visualizations.py:333-351)."""
