@@ -1,0 +1,93 @@
+"""Real-dataset loader tests against generated on-disk fixtures (CLIPort
+episode tree; CATER gated on video-decode availability)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from textocvp_tpu.data.datasets import CLIPort, _resize_frames
+from textocvp_tpu.data.vocabularies import CLIPORT_VOCAB, CLIPORT_VOCAB_TEST
+
+
+@pytest.fixture(scope="module")
+def cliport_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cliport")
+    rng = np.random.default_rng(14)
+    for split in ("train", "test"):
+        for ep in range(3):
+            ep_dir = root / split / f"episode{ep:05d}"
+            color = ep_dir / "color"
+            color.mkdir(parents=True)
+            for f in range(6):
+                img = (rng.uniform(0, 255, (48, 64, 3))).astype(np.uint8)
+                Image.fromarray(img).save(color / f"{f:06d}_color.png")
+            color_name = "red" if split == "train" else "pink"
+            (ep_dir / "task_description.txt").write_text(
+                f"put the {color_name} block in the green bowl\n"
+            )
+    # an excluded episode must be skipped
+    bad = root / "train" / "episode07564" / "color"
+    bad.mkdir(parents=True)
+    (root / "train" / "episode07564" / "task_description.txt").write_text("x")
+    return root
+
+
+def test_cliport_loader(cliport_root):
+    ds = CLIPort(root=str(cliport_root), split="train", num_frames=4, img_size=32)
+    assert len(ds) == 3  # excluded episode dropped
+    frames, caption = ds[0]
+    # int img_size resizes the SHORTER side (torchvision semantics): 48x64 -> 32x43
+    assert frames.shape[0] == 4 and frames.shape[3] == 3
+    assert frames.shape[1] == 32
+    assert frames.min() >= 0 and frames.max() <= 1
+    assert caption == "put the red block in the green bowl"
+    assert ds.vocabulary == CLIPORT_VOCAB
+
+
+def test_cliport_test_split_vocab(cliport_root):
+    ds = CLIPort(root=str(cliport_root), split="test", num_frames=4, img_size=(32, 32))
+    assert ds.vocabulary == CLIPORT_VOCAB_TEST
+    frames, caption = ds[1]
+    assert frames.shape == (4, 32, 32, 3)
+    assert "pink" in caption
+    # test split never uses random start
+    assert ds.random_start is False
+
+
+def test_cliport_too_few_frames_raises(cliport_root):
+    ds = CLIPort(root=str(cliport_root), split="train", num_frames=10, img_size=(16, 16))
+    with pytest.raises(ValueError):
+        ds[0]
+
+
+def test_resize_frames_tuple_and_int():
+    frames = np.random.default_rng(0).uniform(0, 1, (2, 20, 30, 3)).astype(np.float32)
+    out = _resize_frames(frames, (10, 10))
+    assert out.shape == (2, 10, 10, 3)
+    out = _resize_frames(frames, 10)  # shorter side -> 10, other side scales
+    assert out.shape == (2, 10, 15, 3)
+
+
+def test_cater_missing_root_raises(tmp_path):
+    from textocvp_tpu.data.datasets import CATER
+
+    with pytest.raises(FileNotFoundError):
+        CATER(root=str(tmp_path / "nope"), mode="easy", split="train")
+
+
+def test_cater_annotations_and_vocab(tmp_path):
+    from textocvp_tpu.data.datasets import CATER
+    from textocvp_tpu.data.vocabularies import CATER_HARD_VOCAB
+
+    root = tmp_path / "CATER" / "hard"
+    root.mkdir(parents=True)
+    ann = {"0": {"video": "videos/v0.mp4", "caption": "the snitch is rotating"}}
+    with open(root / "test_explicit.json", "w") as f:
+        json.dump(ann, f)
+    ds = CATER(root=str(tmp_path / "CATER"), mode="hard", split="valid", num_frames=4)
+    assert len(ds) == 1
+    assert ds.split == "test"
+    assert ds.vocabulary == CATER_HARD_VOCAB
