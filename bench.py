@@ -69,20 +69,34 @@ def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pall
         lambda r, s, t, m: predictor.init(r, s, caption_tokens=t, attn_masks=m)
     )({"params": jax.random.PRNGKey(3)}, slot_sample, tokens, attn_masks)
 
-    import functools
-
     @jax.jit
-    def eval_step(model_params, pred_params, videos, tokens, attn_masks, key):
-        b = videos.shape[0]
+    def predict_stage(model_params, pred_params, videos, tokens, attn_masks, key):
+        """Seed-encode + autoregressive rollout -> predicted slots."""
         out = model.apply(model_params, videos, decode=False, rngs={"slots": key})
         pred_slots = predictor.apply(
             pred_params, out["slot_history"], num_preds=num_preds,
             teacher_force=False, caption_tokens=tokens, attn_masks=attn_masks,
         )
-        dec = model.apply(model_params, pred_slots.reshape(b * num_preds, num_slots, slot_dim),
+        return pred_slots
+
+    @jax.jit
+    def decode_stage(model_params, pred_slots):
+        b = pred_slots.shape[0]
+        dec = model.apply(model_params,
+                          pred_slots.reshape(b * num_preds, num_slots, slot_dim),
                           method="decode")
         imgs = jnp.clip(dec["recons_imgs"], 0, 1)
         return imgs, jnp.sum(imgs)
+
+    def eval_step(model_params, pred_params, videos, tokens, attn_masks, key):
+        """Two chained XLA programs, dispatched back-to-back with no host
+        round-trip between them. (A single fused 3-stage program compiles to a
+        ~3.5x slower schedule on the current remote-compiled TPU runtime —
+        measured 1.5s vs 61ms+339ms for the parts at batch 32 — so the
+        pipeline is split at the rollout/decode boundary.)"""
+        pred_slots = predict_stage(model_params, pred_params, videos, tokens,
+                                   attn_masks, key)
+        return decode_stage(model_params, pred_slots)
 
     return eval_step, (model_vars, pred_vars, videos, tokens, attn_masks)
 

@@ -1,0 +1,69 @@
+"""Tensor-parallel partitioning tests on the (4, 2) CPU mesh: sharded
+predictor forward matches the replicated forward exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from textocvp_tpu.models.predictors import PredictorWrapper, TextOCVP
+from textocvp_tpu.parallel.mesh import batch_sharding, get_mesh, replicated_sharding
+from textocvp_tpu.parallel.partitioning import (
+    predictor_param_specs,
+    shard_predictor_params,
+)
+
+B, S, D = 4, 4, 16
+
+
+def _predictor():
+    return TextOCVP(
+        num_slots=S, slot_dim=D, token_dim=32, n_heads=2, hidden_dim=64,
+        num_layers=2, residual=True, input_buffer_size=3,
+        fusion_num_heads=2, fusion_head_dim=16, fusion_mlp_size=64,
+        text_encoder_type="custom_tf",
+        text_encoder_params={"input_dim": 16, "num_layers": 1, "num_heads": 2,
+                             "vocab_size": 30},
+    )
+
+
+def test_specs_target_large_matmuls():
+    pred = _predictor()
+    wrapper = PredictorWrapper(predictor=pred, num_context=1, num_preds=2,
+                               teacher_force=False, input_buffer_size=3)
+    hist = jnp.zeros((B, 1, S, D))
+    text = jnp.ones((B, 5), jnp.int32)
+    lengths = jnp.full((B,), 5, jnp.int32)
+    params = wrapper.init(jax.random.PRNGKey(0), hist, caption_tokens=text,
+                          caption_lengths=lengths)["params"]
+    specs = predictor_param_specs(params)
+    blk = specs["predictor"]["block_0"]
+    assert tuple(blk["attn"]["q"]["kernel"]) == (None, "model")
+    assert tuple(blk["attn"]["out"]["kernel"]) == ("model", None)
+    assert tuple(blk["mlp"]["Dense_0"]["kernel"]) == (None, "model")
+    assert tuple(blk["mlp"]["Dense_1"]["kernel"]) == ("model", None)
+    # norms stay replicated
+    assert tuple(blk["ln_query"]["scale"]) == ()
+
+
+def test_tp_sharded_rollout_matches_replicated():
+    mesh = get_mesh(data=4, model=2)
+    pred = _predictor()
+    wrapper = PredictorWrapper(predictor=pred, num_context=1, num_preds=4,
+                               teacher_force=False, input_buffer_size=3)
+    hist = jax.random.normal(jax.random.PRNGKey(1), (B, 1, S, D))
+    text = jnp.ones((B, 5), jnp.int32)
+    lengths = jnp.full((B,), 5, jnp.int32)
+    variables = wrapper.init(jax.random.PRNGKey(0), hist, caption_tokens=text,
+                             caption_lengths=lengths)
+
+    fn = jax.jit(lambda v, h, t, l: wrapper.apply(v, h, caption_tokens=t,
+                                                  caption_lengths=l))
+    ref = fn(variables, hist, text, lengths)
+
+    sharded_params = {"params": shard_predictor_params(variables["params"], mesh)}
+    hist_s = jax.device_put(hist, batch_sharding(mesh))
+    text_s = jax.device_put(text, batch_sharding(mesh))
+    lengths_s = jax.device_put(lengths, batch_sharding(mesh))
+    with mesh:
+        out = fn(sharded_params, hist_s, text_s, lengths_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-5)
