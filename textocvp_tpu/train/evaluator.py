@@ -190,22 +190,31 @@ class PredictorEvaluator:
         slot_dim = self.exp_params["model"]["model_params"]["slot_dim"]
 
         @jax.jit
-        def eval_step(pred_params, videos, rng, **text_kwargs):
-            """Seed-encode -> rollout -> decode -> metrics, one XLA program."""
-            b = videos.shape[0]
+        def predict_stage(pred_params, videos, rng, **text_kwargs):
+            """Seed-encode + rollout -> predicted slots."""
             seed = videos[:, :c]
             out = decomp_model.apply(decomp_vars, seed, decode=False, rngs={"slots": rng})
-            slot_history = out["slot_history"]
-            pred_slots = predictor.apply(
-                {"params": pred_params}, slot_history, num_preds=p,
+            return predictor.apply(
+                {"params": pred_params}, out["slot_history"], num_preds=p,
                 teacher_force=False, **text_kwargs,
             )
+
+        @jax.jit
+        def decode_metrics_stage(pred_slots, videos):
+            b = pred_slots.shape[0]
             dec = decomp_model.apply(
                 decomp_vars, pred_slots.reshape(b * p, num_slots, slot_dim), method="decode"
             )
             targets = jnp.clip(videos[:, c : c + p], 0, 1)
             pred_imgs = jnp.clip(dec["recons_imgs"].reshape(targets.shape), 0, 1)
             return tracker.compute(pred_imgs, targets), pred_imgs
+
+        def eval_step(pred_params, videos, rng, **text_kwargs):
+            """Two chained XLA programs with no host round-trip between them
+            (a single fused 3-stage program compiles to a far slower schedule
+            on the remote-compiled TPU runtime; see bench.py)."""
+            pred_slots = predict_stage(pred_params, videos, rng, **text_kwargs)
+            return decode_metrics_stage(pred_slots, videos)
 
         self.eval_step = eval_step
 
