@@ -151,6 +151,49 @@ def test_scan_rollout_matches_python_unroll():
                                rtol=2e-5, atol=1e-5)
 
 
+def test_textocvp_static_rollout_matches_dynamic_window():
+    """The zero-padded masked ring buffer must be exactly equivalent to the
+    reference's dynamic sliding window (masked softmax == softmax over the
+    valid subset)."""
+    pred = _tiny_textocvp()
+    wrapper = PredictorWrapper(predictor=pred, num_context=2, num_preds=6,
+                               teacher_force=False, input_buffer_size=4)
+    hist = _slots(11, 8)
+    text = jnp.ones((B, 5), dtype=jnp.int32)
+    lengths = jnp.asarray([5, 3])
+    params = wrapper.init(jax.random.PRNGKey(1), hist,
+                          caption_tokens=text, caption_lengths=lengths)
+    out = wrapper.apply(params, hist, caption_tokens=text, caption_lengths=lengths)
+
+    # manual dynamic-window rollout with the inner predictor (reference
+    # predictor_wrapper.py semantics)
+    pred_params = {"params": params["params"]["predictor"]}
+    emb = pred.apply(pred_params, text, lengths, method="encode_text")
+    window = [hist[:, 0], hist[:, 1]]
+    manual = []
+    for t in range(6):
+        cur = pred.apply(pred_params, jnp.stack(window, axis=1), text_embeddings=emb)
+        manual.append(cur)
+        window.append(cur)
+        window = window[-4:]
+    manual = jnp.stack(manual, axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(manual), rtol=3e-5, atol=3e-5)
+
+    # teacher-forced variant
+    out_tf = wrapper.apply(params, hist, teacher_force=True,
+                           caption_tokens=text, caption_lengths=lengths)
+    window = [hist[:, 0], hist[:, 1]]
+    manual_tf = []
+    for t in range(6):
+        cur = pred.apply(pred_params, jnp.stack(window, axis=1), text_embeddings=emb)
+        manual_tf.append(cur)
+        window.append(hist[:, 2 + t])
+        window = window[-4:]
+    manual_tf = jnp.stack(manual_tf, axis=1)
+    np.testing.assert_allclose(np.asarray(out_tf), np.asarray(manual_tf),
+                               rtol=3e-5, atol=3e-5)
+
+
 def test_rollout_jits_as_one_program():
     pred = _tiny_textocvp()
     wrapper = PredictorWrapper(predictor=pred, num_context=1, num_preds=4,

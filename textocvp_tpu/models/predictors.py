@@ -288,8 +288,15 @@ class TextOCVP(nn.Module):
         kv = self.precompute_text_kv(emb)
         return self(slots, text_kv=kv, deterministic=deterministic)
 
-    def __call__(self, slots, text_embeddings=None, text_kv=None,
+    def __call__(self, slots, text_embeddings=None, text_kv=None, self_mask=None,
                  deterministic: bool = True, **kwargs):
+        """
+        slots: (B, T, S, D) window, newest frame last. ``self_mask``
+        (broadcastable to (B, T*S-queries, T*S-keys), True = attend) enables
+        the zero-padded static ring buffer: masked-out padding keys make the
+        fixed-shape window exactly equivalent to the reference's shorter
+        dynamic window.
+        """
         b, t, s, _ = slots.shape
         x = self.mlp_in(slots)
         x = self.pe(x, deterministic=deterministic)
@@ -299,6 +306,7 @@ class TextOCVP(nn.Module):
                 x,
                 text_embeddings=text_embeddings,
                 text_kv=text_kv[i] if text_kv is not None else None,
+                self_mask=self_mask,
                 deterministic=deterministic,
             )
         x = x.reshape(b, t, s, self.token_dim)
@@ -364,6 +372,13 @@ class PredictorWrapper(nn.Module):
             )
             text_kv = self.predictor.precompute_text_kv(text_embeddings)
 
+        if is_text:
+            # TextOCVP supports the fully static masked ring buffer: one scan
+            # body for ALL steps (compile time flat in num_preds and buffer).
+            return self._static_rollout(
+                slot_history, num_preds, teacher_force, text_kv, deterministic
+            )
+
         def step(window_arr):
             if is_text:
                 return self.predictor(window_arr, text_kv=text_kv,
@@ -418,3 +433,49 @@ class PredictorWrapper(nn.Module):
         if preds_arr is None:
             return rest
         return jnp.concatenate([preds_arr, rest], axis=1)
+
+    def _static_rollout(self, slot_history, num_preds, teacher_force, text_kv,
+                        deterministic):
+        """
+        Zero-padded static ring buffer: the window always has
+        ``input_buffer_size`` frames (newest at the last index); padding
+        positions are excluded from self-attention via a key mask, which is
+        exactly equivalent to the reference's shorter dynamic window. Every
+        rollout step then has the same shape and the whole rollout is one
+        ``lax.scan``.
+        """
+        b, _, s, d = slot_history.shape
+        L = self.buffer_size
+        c = min(self.num_context, L)
+
+        buf = jnp.zeros((b, L, s, d), slot_history.dtype)
+        # newest context frame at index L-1 (keep only the last L if C > L)
+        ctx = slot_history[:, max(0, self.num_context - L) : self.num_context]
+        buf = buf.at[:, L - c :].set(ctx)
+
+        if teacher_force:
+            gt = slot_history[:, self.num_context : self.num_context + num_preds]
+            xs = jnp.moveaxis(gt, 1, 0)  # (steps, B, S, D)
+        else:
+            xs = None
+
+        def body(mdl, carry, x):
+            buf, cnt = carry
+            # frame i is valid iff i >= L - cnt; expand to slot tokens
+            frame_valid = jnp.arange(L) >= (L - cnt)
+            key_mask = jnp.repeat(frame_valid, s)[None, None, :]  # (1, 1, L*S)
+            cur = mdl(buf, text_kv=text_kv, self_mask=key_mask,
+                      deterministic=deterministic)
+            nxt = x if teacher_force else cur
+            buf = jnp.concatenate([buf[:, 1:], nxt[:, None]], axis=1)
+            cnt = jnp.minimum(cnt + 1, L)
+            return (buf, cnt), cur
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            length=num_preds,
+        )
+        _, preds = scan(self.predictor, (buf, jnp.asarray(c, jnp.int32)), xs)
+        return jnp.moveaxis(preds, 0, 1)  # (B, num_preds, S, D)
