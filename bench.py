@@ -103,7 +103,7 @@ def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pall
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--num_preds", type=int, default=19)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])

@@ -44,12 +44,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh):
     """Device-put a pytree of host arrays with the batch axis sharded over
-    'data'. Non-array leaves (e.g. caption strings) pass through."""
+    'data'. Arrays whose leading dim doesn't divide the data axis (e.g. a
+    ragged final batch) are replicated instead; non-array leaves (caption
+    strings) pass through."""
     sharding = batch_sharding(mesh)
+    replicated = replicated_sharding(mesh)
+    d = mesh.shape["data"]
 
     def put(x):
         if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) >= 1:
-            return jax.device_put(x, sharding)
+            target = sharding if x.shape[0] % d == 0 else replicated
+            return jax.device_put(x, target)
         return x
 
     return jax.tree_util.tree_map(put, batch)
@@ -59,3 +64,32 @@ def pad_batch_to_multiple(batch_size: int, mesh: Mesh) -> int:
     """Smallest batch size >= batch_size divisible by the data-axis size."""
     d = mesh.shape["data"]
     return ((batch_size + d - 1) // d) * d
+
+
+def device_prefetch(iterator, mesh: Mesh, size: int = 2):
+    """
+    Wrap a host batch iterator with asynchronous host->device transfer: up to
+    ``size`` batches are device_put ahead of consumption, overlapping input
+    transfer with TPU compute (the tf.data-style prefetch of SURVEY.md §7.6).
+    Works on (videos, others) tuples; array leaves get batch-sharded.
+    """
+    import collections
+
+    queue = collections.deque()
+
+    def put(batch):
+        return shard_batch(batch, mesh)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            queue.append(put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
+        yield out

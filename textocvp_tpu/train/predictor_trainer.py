@@ -220,12 +220,13 @@ class PredictorTrainer:
         losses = []
         log_freq = self.training_params.get("log_frequency", 100)
         max_iters = self.training_params.get("train_iters_per_epoch")
-        for i, (videos, others) in enumerate(self.train_loader):
+        from textocvp_tpu.parallel.mesh import device_prefetch
+
+        for i, (videos, others) in enumerate(device_prefetch(self.train_loader, self.mesh)):
             if max_iters is not None and i >= max_iters:
                 break
-            batch = shard_batch(jnp.asarray(videos), self.mesh)
             self.params, self.opt_state, values = self.train_step(
-                self.params, self.opt_state, batch, self._rng(), **_text_kwargs(others)
+                self.params, self.opt_state, videos, self._rng(), **_text_kwargs(others)
             )
             if i % log_freq == 0:
                 vals = {k: float(v) for k, v in values.items()}
@@ -238,9 +239,10 @@ class PredictorTrainer:
 
     def valid_epoch(self, epoch: int) -> float:
         losses = []
-        for videos, others in self.valid_loader:
-            batch = shard_batch(jnp.asarray(videos), self.mesh)
-            values = self.valid_step(self.params, batch, self._rng(), **_text_kwargs(others))
+        from textocvp_tpu.parallel.mesh import device_prefetch
+
+        for videos, others in device_prefetch(self.valid_loader, self.mesh):
+            values = self.valid_step(self.params, videos, self._rng(), **_text_kwargs(others))
             losses.append(float(values["_total"]))
         return float(np.mean(losses)) if losses else float("nan")
 
@@ -272,5 +274,9 @@ class PredictorTrainer:
         except (Exception, KeyboardInterrupt) as e:
             save_checkpoint(self.exp.models_dir, f"emergency_checkpoint_epoch_{epoch}",
                             self._state(epoch))
+            from textocvp_tpu.core import logger as _logger
+
+            if _logger._LOGGER is not None:
+                _logger._LOGGER.log_exception(e)
             print_(f"Emergency checkpoint saved at epoch {epoch} ({type(e).__name__})", "error")
             raise

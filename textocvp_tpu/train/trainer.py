@@ -207,8 +207,9 @@ class DecompTrainer:
         losses = []
         log_freq = self.training_params.get("log_frequency", 100)
         img_freq = self.training_params.get("image_log_frequency", 300)
-        for i, (videos, _) in enumerate(self.train_loader):
-            videos = shard_batch(jnp.asarray(videos), self.mesh)
+        from textocvp_tpu.parallel.mesh import device_prefetch
+
+        for i, (videos, _) in enumerate(device_prefetch(self.train_loader, self.mesh)):
             self.params, self.batch_stats, self.opt_state, values = self.train_step(
                 self.params, self.batch_stats, self.opt_state, videos, self._rng()
             )
@@ -242,8 +243,9 @@ class DecompTrainer:
 
     def valid_epoch(self, epoch: int) -> float:
         losses = []
-        for videos, _ in self.valid_loader:
-            videos = shard_batch(jnp.asarray(videos), self.mesh)
+        from textocvp_tpu.parallel.mesh import device_prefetch
+
+        for videos, _ in device_prefetch(self.valid_loader, self.mesh):
             values = self.valid_step(self.params, self.batch_stats, videos, self._rng())
             losses.append(float(values["_total"]))
         mean = float(np.mean(losses)) if losses else float("nan")
@@ -306,5 +308,9 @@ class DecompTrainer:
         except (Exception, KeyboardInterrupt) as e:
             save_checkpoint(self.exp.models_dir, f"emergency_checkpoint_epoch_{epoch}",
                             self._state(epoch))
+            from textocvp_tpu.core import logger as _logger
+
+            if _logger._LOGGER is not None:
+                _logger._LOGGER.log_exception(e)
             print_(f"Emergency checkpoint saved at epoch {epoch} ({type(e).__name__})", "error")
             raise
