@@ -101,6 +101,26 @@ def test_sharded_savi_train_step_runs():
     assert leaf.sharding.is_equivalent_to(replicated_sharding(mesh), ndim=leaf.ndim)
 
 
+def test_device_prefetch_preserves_order_and_shards():
+    from textocvp_tpu.parallel.mesh import device_prefetch
+
+    mesh = get_mesh()
+    batches = [(np.full((16, 2), i, np.float32), {"caption": [f"c{i}"]}) for i in range(5)]
+    out = list(device_prefetch(iter(batches), mesh, size=2))
+    assert len(out) == 5
+    for i, (videos, others) in enumerate(out):
+        assert float(np.asarray(videos)[0, 0]) == i
+        assert others["caption"] == [f"c{i}"]
+        assert videos.sharding.is_equivalent_to(batch_sharding(mesh), ndim=2)
+
+
+def test_shard_batch_ragged_batch_replicates():
+    mesh = get_mesh()
+    x = np.ones((13, 4), np.float32)  # 13 % 8 != 0
+    out = shard_batch(x, mesh)
+    assert out.sharding.is_equivalent_to(replicated_sharding(mesh), ndim=2)
+
+
 def test_bfloat16_compute_dtype():
     """bf16 compute with fp32 params stays finite through a decompose pass."""
     from textocvp_tpu.core.config import build_exp_params

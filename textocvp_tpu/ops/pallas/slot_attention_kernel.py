@@ -145,8 +145,13 @@ def slot_attention_iterations(
             jax.ShapeDtypeStruct((b, s, n), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1.2 * (2 * n * d + 2 * s * n + s * d * 4) * 4)
-            + sum(int(w.size) for w in weights) * 4 + 2 * 1024 * 1024,
+            # grid blocks are double-buffered by the pipeline: k and v blocks
+            # need 2x(N*D) each; weights/outputs add ~2 MB more
+            vmem_limit_bytes=min(
+                14 * 1024 * 1024,
+                4 * (2 * n * d + 2 * s * n + s * d) * 4
+                + sum(int(w.size) for w in weights) * 8 + 3 * 1024 * 1024,
+            ),
         ),
     )(
         k.astype(jnp.float32), v.astype(jnp.float32), slots.astype(jnp.float32), *weights

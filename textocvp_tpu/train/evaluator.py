@@ -216,6 +216,8 @@ class PredictorEvaluator:
             pred_slots = predict_stage(pred_params, videos, rng, **text_kwargs)
             return decode_metrics_stage(pred_slots, videos)
 
+        self.predict_stage = predict_stage
+        self.decode_metrics_stage = decode_metrics_stage
         self.eval_step = eval_step
 
     def evaluate(self) -> dict:

@@ -77,6 +77,24 @@ class PredictorFigGenerator(PredictorEvaluator):
                          metrics=("psnr", "lpips"))
         self.num_seqs = num_seqs
 
+    def load_models(self, sample_videos, sample_text=None):
+        super().load_models(sample_videos, sample_text)
+        decomp_model = self.decomp_model
+        decomp_vars = self.decomp_vars
+        p = self.num_preds
+        num_slots = self.exp_params["model"]["model_params"]["num_slots"]
+        slot_dim = self.exp_params["model"]["model_params"]["slot_dim"]
+
+        @jax.jit
+        def decode_full(pred_slots):
+            b = pred_slots.shape[0]
+            return decomp_model.apply(
+                decomp_vars, pred_slots.reshape(b * p, num_slots, slot_dim),
+                method="decode",
+            )
+
+        self.decode_full = decode_full
+
     def generate_figs(self):
         out_dir = self.exp.plots_dir / (
             f"figs_pred_{self.pred_ckpt}_NumPreds={self.num_preds}"
@@ -87,8 +105,9 @@ class PredictorFigGenerator(PredictorEvaluator):
                 break
             batch = jnp.asarray(videos)
             rng = jax.random.fold_in(jax.random.PRNGKey(14), i)
-            vals, pred_imgs = self.eval_step(self.pred_params, batch, rng,
-                                             **_text_kwargs(others))
+            pred_slots = self.predict_stage(self.pred_params, batch, rng,
+                                            **_text_kwargs(others))
+            vals, pred_imgs = self.decode_metrics_stage(pred_slots, batch)
             psnr_v = float(np.asarray(vals["psnr"]).mean())
             lpips_v = float(np.asarray(vals["lpips"]).mean()) if "lpips" in vals else 0.0
             seq_dir = out_dir / f"sequence_{i:02d}_psnr={psnr_v:.2f}_lpips={lpips_v:.3f}"
@@ -101,9 +120,32 @@ class PredictorFigGenerator(PredictorEvaluator):
             full = np.concatenate([gt[:c], preds], axis=0)
             viz.make_gif(full, seq_dir / "prediction.gif", n_seed=c)
             viz.make_gif(gt[: c + p], seq_dir / "ground_truth.gif", n_seed=c)
+            self._object_figs(seq_dir, preds, pred_slots)
             caption = others.get("caption", [""])[0]
             seq_dir.mkdir(parents=True, exist_ok=True)
             with open(seq_dir / "prompt.txt", "w") as f:
                 f.write(str(caption) + "\n")
             print_(f"Saved prediction figures for sequence {i} -> {seq_dir}")
         return out_dir
+
+    def _object_figs(self, seq_dir, pred_frames, pred_slots):
+        """Per-object decompositions + segmentation overlays of the predicted
+        frames (reference 06_generate_figs_predictor.py:147-261)."""
+        dec = self.decode_full(pred_slots)
+        p = self.num_preds
+        masks = dec.get("masks")
+        if masks is None:
+            return
+        masks = np.asarray(masks)
+        if masks.ndim == 5 and masks.shape[-1] == 1:  # SAVi: (P, S, H, W, 1)
+            recons = np.asarray(dec["recons"])  # (P, S, H, W, C)
+            objs = recons * masks
+            viz.visualize_decomp(objs[: min(8, p)], savepath=seq_dir / "pred_objects.png")
+            overlays = np.stack([
+                viz.overlay_segmentations(pred_frames[t], masks[t])
+                for t in range(min(8, p))
+            ])
+            viz.visualize_sequence(overlays, savepath=seq_dir / "pred_segmentation.png")
+        elif masks.ndim == 5:  # DINOSAUR: (P, S, 1, gh, gw)
+            objs = viz.process_objs_masks_dinosaur(pred_frames, masks, out_size=96)
+            viz.visualize_decomp(objs[: min(8, p)], savepath=seq_dir / "pred_objects.png")

@@ -25,7 +25,7 @@ from textocvp_tpu.core.experiment import Experiment
 from textocvp_tpu.core.logger import Logger, print_
 from textocvp_tpu.data import DataLoader, load_data
 from textocvp_tpu.models import setup_model, setup_predictor
-from textocvp_tpu.parallel.mesh import get_mesh, shard_batch
+from textocvp_tpu.parallel.mesh import get_mesh
 from textocvp_tpu.train.checkpoints import checkpoint_path, load_checkpoint, save_checkpoint
 from textocvp_tpu.train.losses import build_loss_fn
 from textocvp_tpu.train.schedulers import build_optimizer
