@@ -144,6 +144,10 @@ class DecompTrainer:
         model, loss_fn = self.model, self.loss_fn
         tx = self.tx
         has_bn = self.batch_stats is not None
+        # rematerialize the forward during backward: trades ~1.3x FLOPs for
+        # activation memory — needed for ExtendedDINOSAUR at 336px with large
+        # batches (tpu.remat in experiment params)
+        use_remat = bool((self.exp_params.get("tpu") or {}).get("remat", False))
 
         def forward(params, batch_stats, videos, rng, train: bool):
             variables = {"params": params}
@@ -158,8 +162,14 @@ class DecompTrainer:
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
         def train_step(params, batch_stats, opt_state, videos, rng):
+            def fwd(p, v):
+                return forward(p, batch_stats, v, rng, train=True)
+
+            if use_remat:
+                fwd = jax.checkpoint(fwd)
+
             def loss_of(p):
-                out, new_bs = forward(p, batch_stats, videos, rng, train=True)
+                out, new_bs = fwd(p, videos)
                 total, values = loss_fn(**self._loss_tensors(out, videos))
                 return total, (values, new_bs)
 
