@@ -50,6 +50,7 @@ def setup_model(exp_params: dict):
             decoder=model_params["decoder"],
             transition_module=model_params.get("transition_module"),
             use_pallas=use_pallas,
+            fast_decode=bool((exp_params.get("tpu") or {}).get("fast_decode", True)),
             dtype=dtype,
         )
     if model_name == "ExtendedDINOSAUR":

@@ -60,6 +60,7 @@ class SAVi(nn.Module):
     decoder: dict = None
     transition_module: dict = None
     use_pallas: bool = False
+    fast_decode: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -111,13 +112,26 @@ class SAVi(nn.Module):
         Slots (N, S, D) -> spatial-broadcast decode
         (reference SAVi.py:241-275). Returns dict with recons_imgs (N, H, W, C),
         recons (N, S, H, W, C), masks (N, S, H, W, 1).
+
+        With ``fast_decode`` (default), the first decoder conv exploits the
+        broadcast structure (spatially-constant slot tile + positional map)
+        and runs on a small tile — exact up to float reassociation; see
+        ConvDecoder.decode_broadcast.
         """
         n, s, d = slots.shape
         h0, w0 = self.decoder_resolution
-        x = jnp.broadcast_to(slots[:, :, None, None, :], (n, s, h0, w0, d))
-        x = x.reshape(n * s, h0, w0, d)
-        x = self.decoder_pos_embedding(x)
-        y = self.image_decoder(x, train=train)            # (N*S, H, W, C+1)
+        if self.fast_decode:
+            y = self.image_decoder.decode_broadcast(
+                slots.reshape(n * s, d),
+                self.decoder_pos_embedding.pos_map(),
+                (h0, w0),
+                train=train,
+            )
+        else:
+            x = jnp.broadcast_to(slots[:, :, None, None, :], (n, s, h0, w0, d))
+            x = x.reshape(n * s, h0, w0, d)
+            x = self.decoder_pos_embedding(x)
+            y = self.image_decoder(x, train=train)        # (N*S, H, W, C+1)
         _, h, w, c1 = y.shape
         y = y.reshape(n, s, h, w, c1)
         recons, mask_logits = y[..., : self.in_channels], y[..., self.in_channels :]

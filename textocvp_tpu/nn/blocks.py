@@ -65,18 +65,23 @@ class ConvBlock(nn.Module):
     activation: bool = True
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = nn.Conv(
+    def setup(self):
+        self.conv = nn.Conv(
             self.out_channels,
             (self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
             padding=self.kernel_size // 2,
             kernel_init=xavier_uniform,
             dtype=self.dtype,
-        )(x)
+            name="Conv_0",
+        )
         if self.batch_norm:
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            self.bn = nn.BatchNorm(dtype=self.dtype, name="BatchNorm_0")
+
+    def __call__(self, x, train: bool = False):
+        x = self.conv(x)
+        if self.batch_norm:
+            x = self.bn(x, use_running_average=not train)
         if self.max_pool:
             x = nn.max_pool(
                 x,
@@ -115,11 +120,18 @@ class SoftPositionEmbed(nn.Module):
     resolution: Sequence[int]
     dtype: Dtype = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.projection = nn.Dense(
+            self.hidden_size, kernel_init=xavier_uniform, dtype=self.dtype, name="Dense_0"
+        )
+
+    def pos_map(self):
+        """The projected positional map (H, W, hidden_size)."""
+        grid = jnp.asarray(build_grid(self.resolution), dtype=self.dtype)
+        return self.projection(grid)
+
     def __call__(self, x):
-        grid = jnp.asarray(build_grid(self.resolution), dtype=self.dtype)  # (H, W, 4)
-        proj = nn.Dense(self.hidden_size, kernel_init=xavier_uniform, dtype=self.dtype)(grid)
-        return x + proj[None]
+        return x + self.pos_map()[None]
 
 
 # --------------------------------------------------------------------------- attention

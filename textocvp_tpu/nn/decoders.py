@@ -27,6 +27,15 @@ class ConvDecoder(nn.Module):
     Fully convolutional decoder: ConvBlocks (hidden_dims traversed in reverse)
     with optional nearest upsampling between them, then a final 3x3 conv to
     ``out_channels`` (RGB + alpha) (reference decoders.py:52-125).
+
+    ``__call__(x)`` is the generic path. :meth:`decode_broadcast` exploits the
+    spatial-broadcast structure of the input (a spatially-constant slot tile
+    plus a fixed positional map): by linearity of convolution,
+    ``conv(tile(s) + P) = expand(conv(tile_small(s))) + conv_nobias(P)``, so
+    the first (and FLOP-heaviest, slot_dim-in) conv layer runs on a
+    ``(4*pad+1)``-sized tile instead of the full resolution — exact up to
+    float reassociation. Requires stride 1 and no batch norm (the stock SAVi
+    decoder config).
     """
 
     hidden_dims: Sequence[int]
@@ -37,23 +46,85 @@ class ConvDecoder(nn.Module):
     batch_norm: bool = False
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        up = None if (self.upsample is None or self.upsample < 2) else self.upsample
-        for i in range(len(self.hidden_dims) - 1, -1, -1):
-            x = ConvBlock(
+    def setup(self):
+        self.blocks = [
+            ConvBlock(
                 out_channels=self.hidden_dims[i],
                 kernel_size=self.kernel_size,
                 stride=self.stride,
                 batch_norm=bool(self.batch_norm),
                 dtype=self.dtype,
-            )(x, train=train)
+                name=f"ConvBlock_{len(self.hidden_dims) - 1 - i}",
+            )
+            for i in range(len(self.hidden_dims) - 1, -1, -1)
+        ]
+        self.final_conv = nn.Conv(
+            self.out_channels, (3, 3), padding=1, kernel_init=xavier_uniform,
+            dtype=self.dtype, name="Conv_0",
+        )
+
+    def _tail(self, x, train: bool):
+        """Blocks after the first (upsampling applied between blocks exactly
+        as in ``__call__``), then the final conv."""
+        up = None if (self.upsample is None or self.upsample < 2) else self.upsample
+        n = len(self.hidden_dims)
+        # after block j (reference index i = n-1-j) upsampling applies iff i > 0
+        if up is not None and n - 1 > 0:
+            x = upsample_nearest(x, up)
+        for j, block in enumerate(self.blocks[1:], start=1):
+            x = block(x, train=train)
+            if up is not None and (n - 1 - j) > 0:
+                x = upsample_nearest(x, up)
+        return self.final_conv(x)
+
+    def __call__(self, x, train: bool = False):
+        up = None if (self.upsample is None or self.upsample < 2) else self.upsample
+        n = len(self.hidden_dims)
+        for j, block in enumerate(self.blocks):
+            x = block(x, train=train)
+            i = n - 1 - j  # reference loop index
             if up is not None and i > 0:
                 x = upsample_nearest(x, up)
-        x = nn.Conv(
-            self.out_channels, (3, 3), padding=1, kernel_init=xavier_uniform, dtype=self.dtype
-        )(x)
-        return x
+        return self.final_conv(x)
+
+    def decode_broadcast(self, slots, pos_map, resolution, train: bool = False):
+        """
+        slots: (N, D) spatially-constant content; pos_map: (H0, W0, D) the
+        positional projection added to the broadcast. Equivalent to
+        ``__call__(tile(slots) + pos_map)`` with the first conv layer computed
+        on a small tile. Falls back to the generic path when the structure
+        doesn't apply.
+        """
+        h, w = resolution
+        pad = self.kernel_size // 2
+        small = 4 * pad + 1
+        if (self.stride != 1 or self.batch_norm or h < small or w < small):
+            n = slots.shape[0]
+            x = jnp.broadcast_to(slots[:, None, None, :], (n, h, w, slots.shape[-1]))
+            return self(x + pos_map[None], train=train)
+
+        conv1 = self.blocks[0].conv
+        # content part on a small tile (captures all border patterns)
+        n, d = slots.shape
+        tile = jnp.broadcast_to(slots[:, None, None, :], (n, small, small, d))
+        y_small = conv1(tile)  # includes bias
+        # positional part, bias excluded (it is already in y_small)
+        y_pos = conv1(pos_map[None]) - jnp.asarray(
+            conv1.variables["params"]["bias"], self.dtype)
+
+        # expand the small map: border rows/cols keep their pattern, interior
+        # pixels take the center value
+        def idx(full, small_sz, p):
+            ar = jnp.arange(full)
+            center = 2 * p
+            bottom = ar - full + small_sz
+            return jnp.where(ar < p, ar, jnp.where(ar >= full - p, bottom, center))
+
+        ih = idx(h, small, pad)
+        iw = idx(w, small, pad)
+        y1 = y_small[:, ih][:, :, iw] + y_pos
+        x = jax.nn.relu(y1) if self.blocks[0].activation else y1
+        return self._tail(x, train=train)
 
 
 class MLPPatchDecoder(nn.Module):
