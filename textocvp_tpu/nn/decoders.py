@@ -113,16 +113,19 @@ class ConvDecoder(nn.Module):
             conv1.variables["params"]["bias"], self.dtype)
 
         # expand the small map: border rows/cols keep their pattern, interior
-        # pixels take the center value
-        def idx(full, small_sz, p):
-            ar = jnp.arange(full)
-            center = 2 * p
-            bottom = ar - full + small_sz
-            return jnp.where(ar < p, ar, jnp.where(ar >= full - p, bottom, center))
+        # pixels take the center value. Implemented as slice+broadcast+concat
+        # (NOT a gather) so the backward pass is slicing plus a reduction —
+        # a gather here backpropagates through a serialized scatter on TPU.
+        def expand_axis(y, full, axis):
+            top = jax.lax.slice_in_dim(y, 0, pad, axis=axis)
+            mid = jax.lax.slice_in_dim(y, 2 * pad, 2 * pad + 1, axis=axis)
+            mid_shape = list(mid.shape)
+            mid_shape[axis] = full - 2 * pad
+            mid = jnp.broadcast_to(mid, mid_shape)
+            bot = jax.lax.slice_in_dim(y, small - pad, small, axis=axis)
+            return jnp.concatenate([top, mid, bot], axis=axis)
 
-        ih = idx(h, small, pad)
-        iw = idx(w, small, pad)
-        y1 = y_small[:, ih][:, :, iw] + y_pos
+        y1 = expand_axis(expand_axis(y_small, h, axis=1), w, axis=2) + y_pos
         x = jax.nn.relu(y1) if self.blocks[0].activation else y1
         return self._tail(x, train=train)
 
