@@ -42,7 +42,8 @@ def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pall
     exp_params = add_predictor_params(exp_params, "TextOCVP_T5")
     exp_params["prediction_params"]["num_preds"] = num_preds
     exp_params["tpu"] = {"compute_dtype": compute_dtype, "use_pallas": use_pallas,
-                         "mesh_axes": {"data": -1, "model": 1}}
+                         "mesh_axes": {"data": -1, "model": 1},
+                         "fast_decode_expand": "gather"}  # inference-only
 
     model = setup_model(exp_params)
     predictor = setup_predictor(exp_params)

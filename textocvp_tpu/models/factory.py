@@ -51,6 +51,8 @@ def setup_model(exp_params: dict):
             transition_module=model_params.get("transition_module"),
             use_pallas=use_pallas,
             fast_decode=bool((exp_params.get("tpu") or {}).get("fast_decode", True)),
+            fast_decode_expand=(exp_params.get("tpu") or {}).get(
+                "fast_decode_expand", "concat"),
             dtype=dtype,
         )
     if model_name == "ExtendedDINOSAUR":

@@ -61,6 +61,8 @@ class SAVi(nn.Module):
     transition_module: dict = None
     use_pallas: bool = False
     fast_decode: bool = True
+    # 'concat' backprops cheaply (training); 'gather' fuses best inference-only
+    fast_decode_expand: str = "concat"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -126,6 +128,7 @@ class SAVi(nn.Module):
                 self.decoder_pos_embedding.pos_map(),
                 (h0, w0),
                 train=train,
+                expand_impl=self.fast_decode_expand,
             )
         else:
             x = jnp.broadcast_to(slots[:, :, None, None, :], (n, s, h0, w0, d))

@@ -87,13 +87,20 @@ class ConvDecoder(nn.Module):
                 x = upsample_nearest(x, up)
         return self.final_conv(x)
 
-    def decode_broadcast(self, slots, pos_map, resolution, train: bool = False):
+    def decode_broadcast(self, slots, pos_map, resolution, train: bool = False,
+                         expand_impl: str = "concat"):
         """
         slots: (N, D) spatially-constant content; pos_map: (H0, W0, D) the
         positional projection added to the broadcast. Equivalent to
         ``__call__(tile(slots) + pos_map)`` with the first conv layer computed
         on a small tile. Falls back to the generic path when the structure
         doesn't apply.
+
+        ``expand_impl`` selects how the small map is expanded to full
+        resolution: 'gather' fuses best in inference-only programs but its
+        backward is a serialized scatter on TPU; 'concat'
+        (slice+broadcast+concat) has a cheap reduction backward — use it
+        whenever gradients flow through the decoder.
         """
         h, w = resolution
         pad = self.kernel_size // 2
@@ -113,19 +120,27 @@ class ConvDecoder(nn.Module):
             conv1.variables["params"]["bias"], self.dtype)
 
         # expand the small map: border rows/cols keep their pattern, interior
-        # pixels take the center value. Implemented as slice+broadcast+concat
-        # (NOT a gather) so the backward pass is slicing plus a reduction —
-        # a gather here backpropagates through a serialized scatter on TPU.
-        def expand_axis(y, full, axis):
-            top = jax.lax.slice_in_dim(y, 0, pad, axis=axis)
-            mid = jax.lax.slice_in_dim(y, 2 * pad, 2 * pad + 1, axis=axis)
-            mid_shape = list(mid.shape)
-            mid_shape[axis] = full - 2 * pad
-            mid = jnp.broadcast_to(mid, mid_shape)
-            bot = jax.lax.slice_in_dim(y, small - pad, small, axis=axis)
-            return jnp.concatenate([top, mid, bot], axis=axis)
+        # pixels take the center value
+        if expand_impl == "gather":
+            def idx(full):
+                ar = jnp.arange(full)
+                return jnp.where(ar < pad, ar,
+                                 jnp.where(ar >= full - pad, ar - full + small, 2 * pad))
 
-        y1 = expand_axis(expand_axis(y_small, h, axis=1), w, axis=2) + y_pos
+            expanded = y_small[:, idx(h)][:, :, idx(w)]
+        else:
+            def expand_axis(y, full, axis):
+                top = jax.lax.slice_in_dim(y, 0, pad, axis=axis)
+                mid = jax.lax.slice_in_dim(y, 2 * pad, 2 * pad + 1, axis=axis)
+                mid_shape = list(mid.shape)
+                mid_shape[axis] = full - 2 * pad
+                mid = jnp.broadcast_to(mid, mid_shape)
+                bot = jax.lax.slice_in_dim(y, small - pad, small, axis=axis)
+                return jnp.concatenate([top, mid, bot], axis=axis)
+
+            expanded = expand_axis(expand_axis(y_small, h, axis=1), w, axis=2)
+
+        y1 = expanded + y_pos
         x = jax.nn.relu(y1) if self.blocks[0].activation else y1
         return self._tail(x, train=train)
 

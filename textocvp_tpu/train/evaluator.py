@@ -54,6 +54,8 @@ class DecompEvaluator:
         self.checkpoint = checkpoint
         self.batch_size = batch_size or self.exp_params["training"]["batch_size"]
         self.results_name = results_name or f"eval_decomp_{checkpoint}"
+        # inference-only: the gather-expand fuses best (no backward pass)
+        self.exp_params.setdefault("tpu", {})["fast_decode_expand"] = "gather"
         self.mesh = get_mesh(**(self.exp_params.get("tpu") or {}).get(
             "mesh_axes", {"data": -1, "model": 1}))
         self.model = setup_model(self.exp_params)
@@ -146,6 +148,8 @@ class PredictorEvaluator:
         self.results_name = results_name or (
             f"eval_pred_{pred_ckpt}_NumSeed={self.num_context}_NumPreds={self.num_preds}"
         )
+        # inference-only: the gather-expand fuses best (no backward pass)
+        self.exp_params.setdefault("tpu", {})["fast_decode_expand"] = "gather"
         self.mesh = get_mesh(**(self.exp_params.get("tpu") or {}).get(
             "mesh_axes", {"data": -1, "model": 1}))
         self.decomp_model = setup_model(self.exp_params)
