@@ -89,12 +89,17 @@ class DecompEvaluator:
 
     def evaluate(self) -> dict:
         step = 0
+        pending = None  # accumulate batch i-1 while batch i computes
         for videos, _ in self.test_loader:
             step += 1
             batch = shard_batch(jnp.asarray(videos), self.mesh)
             rng = jax.random.fold_in(jax.random.PRNGKey(14), step)
             vals = self.eval_step(self.variables, batch, rng)
-            self.metric_tracker.accumulate(precomputed=vals)
+            if pending is not None:
+                self.metric_tracker.accumulate(precomputed=pending)
+            pending = vals
+        if pending is not None:
+            self.metric_tracker.accumulate(precomputed=pending)
         self.metric_tracker.aggregate()
         results = self.metric_tracker.to_json()
         self.exp.save_results(self.results_name, results)
@@ -226,12 +231,17 @@ class PredictorEvaluator:
 
     def evaluate(self) -> dict:
         step = 0
+        pending = None  # accumulate batch i-1 while batch i computes
         for videos, others in self.test_loader:
             step += 1
             batch = shard_batch(jnp.asarray(videos), self.mesh)
             rng = jax.random.fold_in(jax.random.PRNGKey(14), step)
             vals, _ = self.eval_step(self.pred_params, batch, rng, **_text_kwargs(others))
-            self.metric_tracker.accumulate(precomputed=vals)
+            if pending is not None:
+                self.metric_tracker.accumulate(precomputed=pending)
+            pending = vals
+        if pending is not None:
+            self.metric_tracker.accumulate(precomputed=pending)
         self.metric_tracker.aggregate()
         results = self.metric_tracker.to_json()
         self.exp.save_results(self.results_name, results)
