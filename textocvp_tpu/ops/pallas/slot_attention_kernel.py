@@ -99,6 +99,41 @@ def _slot_attention_kernel(
     slots_out_ref[0] = slots
 
 
+def _xla_iterations(k, v, slots, params, num_iters: int, scale: float, epsilon: float):
+    """Functional XLA twin of the fused kernel (identical math, batched jnp
+    ops) — used as the differentiable surrogate in the custom VJP."""
+
+    def dense(p, x):
+        y = jnp.einsum("...d,df->...f", x, jnp.asarray(p["kernel"], jnp.float32))
+        if "bias" in p:
+            y = y + jnp.asarray(p["bias"], jnp.float32)
+        return y
+
+    def ln(p, x, eps=1e-3):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+        return (x - mu) * jax.lax.rsqrt(var + eps) * jnp.asarray(
+            p["scale"], jnp.float32) + jnp.asarray(p["bias"], jnp.float32)
+
+    gru = params["gru"]
+    attn_out = None
+    for _ in range(num_iters):
+        slots_prev = slots
+        q = dense(params["to_q"], ln(params["norm_slot"], slots))
+        dots = jnp.einsum("bsd,bnd->bsn", q, k) * scale
+        attn = jax.nn.softmax(dots, axis=1) + epsilon
+        attn_out = attn
+        w = attn / jnp.sum(attn, axis=-1, keepdims=True)
+        updates = jnp.einsum("bsn,bnd->bsd", w, v)
+        r = jax.nn.sigmoid(dense(gru["ir"], updates) + dense(gru["hr"], slots_prev))
+        z = jax.nn.sigmoid(dense(gru["iz"], updates) + dense(gru["hz"], slots_prev))
+        n = jnp.tanh(dense(gru["in"], updates) + r * dense(gru["hn"], slots_prev))
+        slots = (1.0 - z) * n + z * slots_prev
+        h = jax.nn.relu(dense(params["mlp"]["Dense_0"], ln(params["norm_mlp"], slots)))
+        slots = slots + dense(params["mlp"]["Dense_1"], h)
+    return slots, attn_out
+
+
 def slot_attention_iterations(
     k: jax.Array, v: jax.Array, slots: jax.Array, num_iters: int,
     params: dict, scale: float, epsilon: float = 1e-8,
@@ -106,8 +141,46 @@ def slot_attention_iterations(
     """
     Fused refinement: k, v (B, N, D), slots (B, S, D) -> (slots, attn) with
     attn (B, S, N), matching SlotAttention.iterate's XLA path bit-for-bit up
-    to float accumulation order.
+    to float accumulation order. Differentiable: the backward pass recomputes
+    through the functional XLA twin (custom VJP), so ``use_pallas`` works in
+    training too (at rematerialization cost).
     """
+    in_dtype = slots.dtype
+    out, attn = _fused(
+        k.astype(jnp.float32), v.astype(jnp.float32), slots.astype(jnp.float32),
+        jax.tree_util.tree_map(lambda x: jnp.asarray(x, jnp.float32), params),
+        num_iters, scale, epsilon,
+    )
+    return out.astype(in_dtype), attn.astype(in_dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused(k, v, slots, params, num_iters, scale, epsilon):
+    return _pallas_forward(k, v, slots, params, num_iters, scale, epsilon)
+
+
+def _fused_fwd(k, v, slots, params, num_iters, scale, epsilon):
+    out = _pallas_forward(k, v, slots, params, num_iters, scale, epsilon)
+    return out, (k, v, slots, params)
+
+
+def _fused_bwd(num_iters, scale, epsilon, residuals, g):
+    k, v, slots, params = residuals
+    _, vjp = jax.vjp(
+        lambda k_, v_, s_, p_: _xla_iterations(k_, v_, s_, p_, num_iters, scale, epsilon),
+        k, v, slots, params,
+    )
+    return vjp(g)
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _pallas_forward(
+    k: jax.Array, v: jax.Array, slots: jax.Array,
+    params: dict, num_iters: int, scale: float, epsilon: float,
+) -> tuple[jax.Array, jax.Array]:
+    """Dispatch the fused TPU kernel (no autodiff rules of its own)."""
     b, n, d = k.shape
     s = slots.shape[1]
     f32 = functools.partial(jnp.asarray, dtype=jnp.float32)
