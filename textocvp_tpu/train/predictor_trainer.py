@@ -203,6 +203,22 @@ class PredictorTrainer:
         self.valid_step = lambda params, videos, rng, **tk: valid_step(
             params, videos, rng, False, **tk)
 
+        @jax.jit
+        def viz_forward(params, videos, rng, **text_kwargs):
+            """Free-running rollout + decode of one sequence for TB images."""
+            videos = videos[:1, : c + p]
+            out = decomp_model.apply(decomp_vars(), videos, decode=False,
+                                     rngs={"slots": rng})
+            pred_slots = predictor.apply(
+                {"params": params}, out["slot_history"], teacher_force=False,
+                **text_kwargs)
+            dec = decomp_model.apply(
+                decomp_vars(), pred_slots.reshape(p, num_slots, slot_dim),
+                method="decode")
+            return dec["recons_imgs"]
+
+        self.viz_forward = viz_forward
+
     # ------------------------------------------------------------------ loop
     def _rng(self):
         self.global_step += 1
@@ -234,8 +250,28 @@ class PredictorTrainer:
                     for k, v in vals.items():
                         self.writer.add_scalar(f"train/{k}", v, self.global_step)
                 print_(f"  epoch {epoch} iter {i}: loss={vals['_total']:.6f}")
+            if self.writer is not None and i % self.training_params.get(
+                    "image_log_frequency", 300) == 0:
+                self._log_images(videos, others)
             losses.append(float(values["_total"]))
         return float(np.mean(losses)) if losses else float("nan")
+
+    def _log_images(self, videos, others):
+        """GT-vs-prediction strip to TensorBoard (reference
+        basePredictorTrainer.py:308-311)."""
+        try:
+            c = self.prediction_params["num_context"]
+            p = self.prediction_params["num_preds"]
+            tk = {k: v[:1] for k, v in _text_kwargs(others).items()}
+            preds = np.clip(np.asarray(
+                self.viz_forward(self.params, videos, self._rng(), **tk)), 0, 1)
+            gt = np.clip(np.asarray(videos[0, c : c + p]), 0, 1)
+            panel = np.concatenate([gt, preds], axis=1)  # vertical GT/pred
+            strip = np.concatenate(list(panel), axis=1)
+            self.writer.add_image("train/predictions", strip.transpose(2, 0, 1),
+                                  self.global_step)
+        except Exception:
+            pass  # image logging must never break training
 
     def valid_epoch(self, epoch: int) -> float:
         losses = []
