@@ -81,6 +81,17 @@ def test_lpips_invariants(rng):
     np.testing.assert_allclose(d_xy, d_yx, rtol=1e-4, atol=1e-6)
 
 
+def test_lpips_small_inputs_finite(rng):
+    """16x16 inputs collapse AlexNet's spatial extent to zero without the
+    minimum-size resize — regression test for the NaN found in verification."""
+    lpips = make_lpips_fn()
+    x = rng.uniform(0, 1, (1, 2, 16, 16, 3)).astype(np.float32)
+    y = rng.uniform(0, 1, x.shape).astype(np.float32)
+    vals = np.asarray(lpips(jnp.asarray(x), jnp.asarray(y)))
+    assert np.isfinite(vals).all()
+    assert (vals > 0).all()
+
+
 def test_tracker_aggregation(rng):
     tracker = MetricTracker(metrics=("psnr", "ssim"))
     x = rng.uniform(0, 1, (2, 3, 16, 16, 3)).astype(np.float32)

@@ -171,6 +171,14 @@ def make_lpips_fn(weights: Optional[dict] = None) -> Callable[[jax.Array, jax.Ar
         b, f = preds.shape[:2]
         x = preds.reshape((b * f,) + preds.shape[2:]).astype(jnp.float32)
         y = targets.reshape((b * f,) + targets.shape[2:]).astype(jnp.float32)
+        # AlexNet's stride-4 + pooling stack needs >=32px of spatial extent;
+        # smaller inputs collapse to empty feature maps (NaN means). Upsample
+        # degenerate sizes — real datasets (64/336px) are unaffected.
+        if x.shape[1] < 32 or x.shape[2] < 32:
+            h = max(32, x.shape[1])
+            w = max(32, x.shape[2])
+            x = jax.image.resize(x, (x.shape[0], h, w, x.shape[3]), "bilinear")
+            y = jax.image.resize(y, (y.shape[0], h, w, y.shape[3]), "bilinear")
         # [0,1] -> [-1,1] -> scaling layer
         x = (2 * x - 1 - _LPIPS_SHIFT) / _LPIPS_SCALE
         y = (2 * y - 1 - _LPIPS_SHIFT) / _LPIPS_SCALE
