@@ -78,6 +78,36 @@ def test_cater_missing_root_raises(tmp_path):
         CATER(root=str(tmp_path / "nope"), mode="easy", split="train")
 
 
+def test_cater_npy_and_framedir_videos(tmp_path):
+    """CATER loads .npy arrays and frame directories without ffmpeg."""
+    from textocvp_tpu.data.datasets import CATER
+
+    root = tmp_path / "CATER" / "easy"
+    (root / "videos").mkdir(parents=True)
+    rng = np.random.default_rng(3)
+    vid = (rng.uniform(0, 255, (12, 24, 24, 3))).astype(np.uint8)
+    np.save(root / "videos" / "v0.npy", vid)
+    framedir = root / "videos" / "v1"
+    framedir.mkdir()
+    for i in range(12):
+        Image.fromarray(vid[i]).save(framedir / f"{i:04d}.png")
+    ann = {
+        "0": {"video": "videos/v0.npy", "caption": "the snitch is rotating"},
+        "1": {"video": "videos/v1", "caption": "the cone is sliding"},
+    }
+    with open(root / "test_explicit.json", "w") as f:
+        json.dump(ann, f)
+
+    ds = CATER(root=str(tmp_path / "CATER"), mode="easy", split="test",
+               num_frames=4, img_size=(16, 16))
+    f0, c0 = ds[0]
+    f1, c1 = ds[1]
+    assert f0.shape == (4, 16, 16, 3) and f1.shape == (4, 16, 16, 3)
+    # both formats decode the same underlying frames (fixed start = frame 1)
+    np.testing.assert_allclose(f0, f1, atol=0.05)
+    assert c0 == "the snitch is rotating"
+
+
 def test_cater_annotations_and_vocab(tmp_path):
     from textocvp_tpu.data.datasets import CATER
     from textocvp_tpu.data.vocabularies import CATER_HARD_VOCAB

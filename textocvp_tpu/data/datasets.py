@@ -47,11 +47,63 @@ def _resize_frames(frames: np.ndarray, size) -> np.ndarray:
     return out
 
 
-def _read_video(path: str, indices: np.ndarray) -> np.ndarray:
-    """Decode selected frames of an mp4 as float32 [0,1] (T, H, W, C)."""
+def _video_length(path: str) -> int:
+    """Number of frames in a video (any format _read_video supports)."""
+    if os.path.isdir(path):
+        return sum(1 for f in os.listdir(path)
+                   if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    if path.endswith((".npy", ".npz")):
+        arr = np.load(path, mmap_mode="r" if path.endswith(".npy") else None)
+        if hasattr(arr, "files"):
+            arr = arr[arr.files[0]]
+        return int(arr.shape[0])
     import imageio
 
-    reader = imageio.get_reader(path)
+    return int(imageio.get_reader(path).count_frames())
+
+
+def _read_video(path: str, indices: np.ndarray) -> np.ndarray:
+    """
+    Decode selected frames as float32 [0,1] (T, H, W, C). Supports:
+    * mp4/avi via imageio (requires an ffmpeg backend)
+    * .npy/.npz arrays of shape (T, H, W, C) in uint8 or float
+    * a directory of per-frame images (sorted lexicographically)
+    The non-mp4 formats keep CATER usable in environments without ffmpeg
+    (re-export the videos once with any tool).
+    """
+    indices = np.asarray(indices, dtype=np.int64)
+    if os.path.isdir(path):
+        from PIL import Image
+
+        files = sorted(
+            f for f in os.listdir(path)
+            if f.lower().endswith((".png", ".jpg", ".jpeg"))
+        )
+        frames = []
+        for i in indices:
+            with open(os.path.join(path, files[int(i)]), "rb") as f:
+                img = Image.open(f).convert("RGB")
+            frames.append(np.asarray(img, dtype=np.float32) / 255.0)
+        return np.stack(frames, axis=0)
+    if path.endswith((".npy", ".npz")):
+        arr = np.load(path)
+        if hasattr(arr, "files"):  # npz: first array
+            arr = arr[arr.files[0]]
+        arr = arr[indices]
+        if arr.dtype == np.uint8:
+            arr = arr.astype(np.float32) / 255.0
+        return arr.astype(np.float32)
+
+    import imageio
+
+    try:
+        reader = imageio.get_reader(path)  # noqa: SIM105
+    except Exception as e:
+        raise RuntimeError(
+            f"Cannot decode {path!r}: no ffmpeg backend available "
+            "(pip install imageio-ffmpeg), or re-export CATER videos as "
+            "frame directories or .npy arrays — both are supported."
+        ) from e
     frames = []
     wanted = set(int(i) for i in indices)
     last = max(wanted)
@@ -98,9 +150,7 @@ class CATER:
         # the reference probes the video length via decord; CATER clips are 31+
         # frames — mirror its start logic (fixed start = frame 1, Cater.py:137-141)
         if self.random_start and self.split == "train":
-            import imageio
-
-            n_total = imageio.get_reader(video_path).count_frames()
+            n_total = _video_length(video_path)
             start = int(self._rng.integers(0, n_total - self.num_frames + 1))
         else:
             start = 1
