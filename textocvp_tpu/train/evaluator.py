@@ -42,6 +42,16 @@ def _text_kwargs(others: dict) -> dict:
     return out
 
 
+def _progress(iterable, total=None, desc=""):
+    """tqdm progress bar when available (reference baseEvaluator.py:180)."""
+    try:
+        from tqdm import tqdm
+
+        return tqdm(iterable, total=total, desc=desc, leave=False)
+    except Exception:
+        return iterable
+
+
 class DecompEvaluator:
     """Evaluate a decomposition checkpoint on full-sequence reconstruction."""
 
@@ -90,7 +100,7 @@ class DecompEvaluator:
     def evaluate(self) -> dict:
         step = 0
         pending = None  # accumulate batch i-1 while batch i computes
-        for videos, _ in self.test_loader:
+        for videos, _ in _progress(self.test_loader, total=len(self.test_loader), desc="eval"):
             step += 1
             batch = shard_batch(jnp.asarray(videos), self.mesh)
             rng = jax.random.fold_in(jax.random.PRNGKey(14), step)
@@ -232,7 +242,7 @@ class PredictorEvaluator:
     def evaluate(self) -> dict:
         step = 0
         pending = None  # accumulate batch i-1 while batch i computes
-        for videos, others in self.test_loader:
+        for videos, others in _progress(self.test_loader, total=len(self.test_loader), desc="eval"):
             step += 1
             batch = shard_batch(jnp.asarray(videos), self.mesh)
             rng = jax.random.fold_in(jax.random.PRNGKey(14), step)
