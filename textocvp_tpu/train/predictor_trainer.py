@@ -184,10 +184,20 @@ class PredictorTrainer:
             total, values = loss_fn(**tensors)
             return total, values
 
+        use_remat = bool((self.exp_params.get("tpu") or {}).get("remat", False))
+
         @partial(jax.jit, static_argnames=("tf",), donate_argnums=(0, 1))
         def train_step(params, opt_state, videos, rng, tf, **text_kwargs):
+            def loss_of(q, v):
+                return forward_loss(q, v, rng, text_kwargs, tf)
+
+            if use_remat:
+                # recompute the rollout+decode during backward: trades ~1.3x
+                # FLOPs for activation memory (needed at 336px / long rollouts)
+                loss_of = jax.checkpoint(loss_of)
+
             (_, values), grads = jax.value_and_grad(
-                lambda q: forward_loss(q, videos, rng, text_kwargs, tf), has_aux=True
+                lambda q: loss_of(q, videos), has_aux=True
             )(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
