@@ -1,0 +1,391 @@
+"""
+END-TO-END numerical parity against the actual reference implementation.
+
+The reference torch code at /root/reference/src is importable offline (torch-cpu
+and transformers are in the environment; timm is stubbed — it is only touched at
+import time unless a ViT encoder is constructed). These tests instantiate the
+*real* reference modules (SAVi from models/SAVi.py:60-293, the predictors from
+models/Predictors/, PredictorWrapper from predictor_wrapper.py:17-169), run them
+forward, export their ``state_dict()``, convert it through our checkpoint
+importer (textocvp_tpu/train/torch_import.py), and assert our flax models
+produce the same slots / predictions / frames. This is the proof behind the
+"checkpoint-compatible outputs" claim: any semantic drift in either direction
+fails these tests.
+
+Determinism notes:
+* The decomposition tests use the ``Learned`` initializer (reference
+  initializers.py:39-61) — ``LearnedRandom`` samples a fresh gaussian at every
+  call (initializers.py:87-94) and cannot be matched across frameworks.
+* All torch modules run under ``.eval()`` + ``no_grad()`` (dropout off), and
+  our side runs with ``deterministic=True``.
+"""
+
+import copy
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from textocvp_tpu.core.config import add_predictor_params, build_exp_params  # noqa: E402
+from textocvp_tpu.models import setup_model, setup_predictor  # noqa: E402
+from textocvp_tpu.train.torch_import import convert_predictor, convert_savi  # noqa: E402
+
+REF_SRC = "/root/reference/src"
+
+
+def _install_import_stubs():
+    """timm is not installed; the reference imports it at module scope but only
+    calls into it when constructing ViT encoders (which these tests never do).
+    nltk/decord are likewise only needed for tokenization / video IO."""
+    if "timm" not in sys.modules:
+        import importlib.machinery
+
+        timm = types.ModuleType("timm")
+        models_mod = types.ModuleType("timm.models")
+        layers_mod = types.ModuleType("timm.models.layers")
+        resnet_mod = types.ModuleType("timm.models.resnet")
+        vt_mod = types.ModuleType("timm.models.vision_transformer")
+
+        class VisionTransformer:  # only used in isinstance checks / annotations
+            pass
+
+        def _unavailable(*args, **kwargs):
+            raise RuntimeError("timm is stubbed in this environment")
+
+        vt_mod.VisionTransformer = VisionTransformer
+        vt_mod._create_vision_transformer = _unavailable
+        layers_mod.GroupNorm = _unavailable
+        resnet_mod.BasicBlock = object
+        resnet_mod._create_resnet = _unavailable
+        models_mod.layers = layers_mod
+        models_mod.resnet = resnet_mod
+        models_mod.vision_transformer = vt_mod
+        timm.models = models_mod
+        timm.create_model = _unavailable
+        mods = {
+            "timm": timm,
+            "timm.models": models_mod,
+            "timm.models.layers": layers_mod,
+            "timm.models.resnet": resnet_mod,
+            "timm.models.vision_transformer": vt_mod,
+        }
+        for name, mod in mods.items():
+            # transformers probes importlib.util.find_spec("timm"), which
+            # raises on modules whose __spec__ is None
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        sys.modules.update(mods)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Namespace with the reference torch classes, imported from /root/reference."""
+    _install_import_stubs()
+    if REF_SRC not in sys.path:
+        sys.path.insert(0, REF_SRC)
+    from models.SAVi import SAVi as RefSAVi
+    from models.Predictors.OCVP import (
+        OCVPPar as RefOCVPPar,
+        OCVPSeq as RefOCVPSeq,
+        VanillaTransformerPredictor as RefVanilla,
+    )
+    from models.Predictors.predictor_wrapper import PredictorWrapper as RefWrapper
+    from models.Predictors.text_cond_OCVP import (
+        TextOCVP_CustomTF as RefTextOCVP_CustomTF,
+        TextOCVP_T5 as RefTextOCVP_T5,
+    )
+
+    ns = types.SimpleNamespace(
+        SAVi=RefSAVi,
+        Vanilla=RefVanilla,
+        OCVPSeq=RefOCVPSeq,
+        OCVPPar=RefOCVPPar,
+        Wrapper=RefWrapper,
+        TextOCVP_CustomTF=RefTextOCVP_CustomTF,
+        TextOCVP_T5=RefTextOCVP_T5,
+    )
+    return ns
+
+
+# --------------------------------------------------------------------------- helpers
+def _tiny_savi_exp():
+    params = build_exp_params("SAVi", "CATER_Easy")
+    mp = params["model"]["model_params"]
+    mp.update(num_slots=4, slot_dim=32, mlp_hidden=24, mlp_encoder_dim=32,
+              num_iterations=1, num_iterations_first=2, initializer="Learned")
+    mp["encoder"]["encoder_params"].update(num_channels=[16, 16], resolution=[32, 32],
+                                           kernel_size=5)
+    mp["decoder"]["decoder_params"].update(num_channels=[16, 16], resolution=[32, 32],
+                                           kernel_size=5, upsample=1)
+    mp["transition_module"] = {"model_name": "TransformerBlock", "num_heads": 2,
+                               "mlp_size": 24}
+    return params
+
+
+def _torch_savi(ref, exp_params):
+    torch.manual_seed(14)
+    mp = copy.deepcopy(exp_params["model"]["model_params"])
+    model = ref.SAVi(**mp)  # reference setup_model.py:22-53 does SAVi(**model_params)
+    model.eval()
+    return model
+
+
+def _sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def _rollout_inputs(rng, b=2, t_ctx=2, t_total=7, s=4, d=32):
+    """slot history long enough for teacher forcing; (B, T, S, D)."""
+    return rng.standard_normal((b, t_total, s, d)).astype(np.float32)
+
+
+def _prediction_params(exp_params, num_context=2, num_preds=4, buffer=3):
+    exp_params["prediction_params"].update(
+        num_context=num_context, num_preds=num_preds, teacher_force=False,
+        input_buffer_size=buffer,
+    )
+    return exp_params
+
+
+# --------------------------------------------------------------------------- SAVi
+def test_savi_end_to_end_matches_reference(ref, rng):
+    exp_params = _tiny_savi_exp()
+    torch_model = _torch_savi(ref, exp_params)
+
+    b, t, hw = 2, 4, 32
+    videos = rng.uniform(0.0, 1.0, size=(b, t, 3, hw, hw)).astype(np.float32)
+    with torch.no_grad():
+        out_t = torch_model(mode="decomp", x=torch.from_numpy(videos), num_imgs=t)
+    ref_slots = out_t["slot_history"].numpy()          # (B, T, S, D)
+    ref_recons = out_t["recons_imgs"].numpy()          # (B, T, C, H, W)
+
+    converted = convert_savi(_sd(torch_model), exp_params["model"]["model_params"])
+    videos_nhwc = jnp.asarray(videos.transpose(0, 1, 3, 4, 2))
+
+    # strict parity on the reassociation-free decode path
+    exp_params.setdefault("tpu", {})["fast_decode"] = False
+    model = setup_model(exp_params)
+    out_j = model.apply({"params": converted["params"]}, videos_nhwc,
+                        rngs={"slots": jax.random.PRNGKey(0)})
+    np.testing.assert_allclose(np.asarray(out_j["slot_history"]), ref_slots,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out_j["recons_imgs"]).transpose(0, 1, 4, 2, 3), ref_recons,
+        rtol=1e-4, atol=1e-4)
+
+    # production fast-broadcast decode path: exact up to float reassociation
+    exp_params["tpu"]["fast_decode"] = True
+    model_fast = setup_model(exp_params)
+    out_f = model_fast.apply({"params": converted["params"]}, videos_nhwc,
+                             rngs={"slots": jax.random.PRNGKey(0)})
+    np.testing.assert_allclose(
+        np.asarray(out_f["recons_imgs"]).transpose(0, 1, 4, 2, 3), ref_recons,
+        rtol=1e-3, atol=1e-3)
+
+
+# --------------------------------------------------------------------------- OCVP
+def _run_ref_wrapper(ref, exp_params, predictor, slot_history, **text_kwargs):
+    torch_wrapper = ref.Wrapper(exp_params=exp_params, predictor=predictor)
+    torch_wrapper.eval()
+    kwargs = dict(text_kwargs)
+    # the reference demands caption_tokens even for unconditioned predictors
+    # (predictor_wrapper.py:100-102)
+    kwargs.setdefault("caption_tokens", torch.ones(slot_history.shape[0], 5,
+                                                   dtype=torch.long))
+    with torch.no_grad():
+        preds = torch_wrapper(torch.from_numpy(slot_history), **kwargs)
+    return torch_wrapper, preds.numpy()
+
+
+@pytest.mark.parametrize("name", ["VanillaTransformer", "OCVPSeq", "OCVPPar"])
+def test_unconditioned_rollout_matches_reference(ref, rng, name):
+    exp_params = _prediction_params(add_predictor_params(_tiny_savi_exp(), name))
+    pp = exp_params["predictor"]["predictor_params"]
+    pp.update(token_dim=16, hidden_dim=32, num_layers=2, n_heads=2, residual=True)
+
+    torch.manual_seed(14)
+    cls = {"VanillaTransformer": ref.Vanilla, "OCVPSeq": ref.OCVPSeq,
+           "OCVPPar": ref.OCVPPar}[name]
+    predictor = cls(
+        num_slots=4, slot_dim=32,
+        input_buffer_size=exp_params["prediction_params"]["input_buffer_size"],
+        **{k: v for k, v in pp.items() if k != "predictor_name"},
+    )  # mirrors reference setup_model.py:84-99
+
+    hist = _rollout_inputs(rng)
+    _, ref_preds = _run_ref_wrapper(ref, exp_params, predictor, hist)
+
+    converted = convert_predictor(_sd(ref.Wrapper(exp_params=exp_params,
+                                                  predictor=predictor)), exp_params)
+    wrapper = setup_predictor(exp_params)
+    out = wrapper.apply({"params": converted["params"]}, jnp.asarray(hist))
+    np.testing.assert_allclose(np.asarray(out), ref_preds, rtol=1e-4, atol=1e-4)
+
+
+def test_unconditioned_teacher_forced_matches_reference(ref, rng):
+    exp_params = _prediction_params(add_predictor_params(_tiny_savi_exp(),
+                                                         "VanillaTransformer"))
+    exp_params["prediction_params"]["teacher_force"] = True
+    pp = exp_params["predictor"]["predictor_params"]
+    pp.update(token_dim=16, hidden_dim=32, num_layers=2, n_heads=2, residual=True)
+
+    torch.manual_seed(7)
+    predictor = ref.Vanilla(num_slots=4, slot_dim=32, input_buffer_size=3,
+                            **{k: v for k, v in pp.items() if k != "predictor_name"})
+    hist = _rollout_inputs(rng)
+
+    # the reference's _is_teacher_force quirk (predictor_wrapper.py:130-140):
+    # `self.predictor.train is False` compares a bound method -> never False,
+    # so teacher forcing always follows the config, even in eval mode.
+    torch_wrapper = ref.Wrapper(exp_params=exp_params, predictor=predictor)
+    torch_wrapper.eval()
+    with torch.no_grad():
+        ref_preds = torch_wrapper(
+            torch.from_numpy(hist),
+            caption_tokens=torch.ones(hist.shape[0], 5, dtype=torch.long),
+        ).numpy()
+
+    converted = convert_predictor(_sd(torch_wrapper), exp_params)
+    wrapper = setup_predictor(exp_params)
+    out = wrapper.apply({"params": converted["params"]}, jnp.asarray(hist))
+    np.testing.assert_allclose(np.asarray(out), ref_preds, rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------------------- TextOCVP
+def _tiny_textocvp_exp(variant="TextOCVP_CustomTF", token_dim=32):
+    exp_params = _prediction_params(add_predictor_params(_tiny_savi_exp(), variant))
+    pp = exp_params["predictor"]["predictor_params"]
+    pp["predictor_params"].update(token_dim=token_dim, n_heads=2, hidden_dim=48,
+                                  num_layers=2, residual=True)
+    pp["fusion_params"].update(num_heads=2, head_dim=8, mlp_size=48)
+    if variant == "TextOCVP_CustomTF":
+        pp["text_encoder_params"].update(input_dim=16, num_layers=2, num_heads=2,
+                                         vocab_size=30)
+    return exp_params
+
+
+def _ref_textocvp_kwargs(exp_params):
+    """Reproduce reference setup_model.py:101-120: inject input_buffer_size into
+    the inner predictor params, pass the three sub-dicts."""
+    pp = copy.deepcopy(exp_params["predictor"]["predictor_params"])
+    pp["predictor_params"]["input_buffer_size"] = \
+        exp_params["prediction_params"]["input_buffer_size"]
+    return dict(
+        slot_dim=exp_params["model"]["model_params"]["slot_dim"],
+        predictor_params=pp["predictor_params"],
+        fusion_params=pp["fusion_params"],
+        text_encoder_params=pp["text_encoder_params"],
+    )
+
+
+def test_textocvp_customtf_rollout_matches_reference(ref, rng):
+    exp_params = _tiny_textocvp_exp("TextOCVP_CustomTF")
+    torch.manual_seed(14)
+    predictor = ref.TextOCVP_CustomTF(**_ref_textocvp_kwargs(exp_params))
+
+    hist = _rollout_inputs(rng)
+    tokens = rng.integers(1, 30, size=(2, 6)).astype(np.int64)
+    lengths = np.array([6, 4], dtype=np.int64)
+    torch_wrapper, ref_preds = _run_ref_wrapper(
+        ref, exp_params, predictor, hist,
+        caption_tokens=torch.from_numpy(tokens),
+        caption_lengths=torch.from_numpy(lengths),
+    )
+
+    converted = convert_predictor(_sd(torch_wrapper), exp_params)
+    wrapper = setup_predictor(exp_params)
+    out = wrapper.apply({"params": converted["params"]}, jnp.asarray(hist),
+                        caption_tokens=jnp.asarray(tokens),
+                        caption_lengths=jnp.asarray(lengths))
+    np.testing.assert_allclose(np.asarray(out), ref_preds, rtol=1e-4, atol=1e-4)
+
+
+def test_textocvp_t5_rollout_matches_reference(ref, rng, monkeypatch):
+    """Full T5 path: the reference hardcodes `T5EncoderModel.from_pretrained
+    ("t5-small")` (text_cond_OCVP.py:148); with zero egress we substitute a
+    randomly initialized T5EncoderModel with the exact t5-small geometry, which
+    exercises the identical code path and weight conversion."""
+    from transformers import T5Config as HFT5Config, T5EncoderModel
+
+    hf_cfg = HFT5Config(
+        vocab_size=32128, d_model=512, d_kv=64, d_ff=2048, num_layers=6,
+        num_heads=8, relative_attention_num_buckets=32,
+        relative_attention_max_distance=128, feed_forward_proj="relu",
+    )
+    torch.manual_seed(14)
+    stub_t5 = T5EncoderModel(hf_cfg)
+    monkeypatch.setattr(T5EncoderModel, "from_pretrained",
+                        classmethod(lambda cls, *a, **k: stub_t5))
+
+    exp_params = _tiny_textocvp_exp("TextOCVP_T5", token_dim=512)
+    torch.manual_seed(3)
+    predictor = ref.TextOCVP_T5(**_ref_textocvp_kwargs(exp_params))
+
+    hist = _rollout_inputs(rng, b=1, t_total=7, s=4, d=32)
+    tokens = rng.integers(2, 32000, size=(1, 8)).astype(np.int64)
+    attn = np.ones((1, 8), dtype=np.int64)
+    attn[0, 6:] = 0
+    torch_wrapper, ref_preds = _run_ref_wrapper(
+        ref, exp_params, predictor, hist,
+        caption_tokens=torch.from_numpy(tokens),
+        attn_masks=torch.from_numpy(attn),
+    )
+
+    converted = convert_predictor(_sd(torch_wrapper), exp_params)
+    wrapper = setup_predictor(exp_params)
+    out = wrapper.apply({"params": converted["params"]}, jnp.asarray(hist),
+                        caption_tokens=jnp.asarray(tokens),
+                        attn_masks=jnp.asarray(attn))
+    np.testing.assert_allclose(np.asarray(out), ref_preds, rtol=2e-4, atol=2e-4)
+
+
+# --------------------------------------------------------------------------- full chain
+def test_full_eval_chain_matches_reference(ref, rng):
+    """The 05_evaluate_predictor path: seed-encode -> rollout -> decode
+    (reference 05_evaluate_predictor.py:53-104), both frameworks end to end."""
+    exp_params = _tiny_textocvp_exp("TextOCVP_CustomTF")
+    exp_params["prediction_params"].update(num_context=2, num_preds=3)
+
+    torch_savi = _torch_savi(ref, exp_params)
+    torch.manual_seed(5)
+    predictor = ref.TextOCVP_CustomTF(**_ref_textocvp_kwargs(exp_params))
+    torch_wrapper = ref.Wrapper(exp_params=exp_params, predictor=predictor)
+    torch_wrapper.eval()
+
+    b, t, hw = 1, 5, 32  # num_context + num_preds frames
+    videos = rng.uniform(0.0, 1.0, size=(b, t, 3, hw, hw)).astype(np.float32)
+    tokens = rng.integers(1, 30, size=(b, 6)).astype(np.int64)
+    lengths = np.array([6], dtype=np.int64)
+
+    with torch.no_grad():
+        decomp = torch_savi(mode="decomp", x=torch.from_numpy(videos), num_imgs=2,
+                            decode=False)
+        pred_slots = torch_wrapper(decomp["slot_history"],
+                                   caption_tokens=torch.from_numpy(tokens),
+                                   caption_lengths=torch.from_numpy(lengths))
+        flat = pred_slots.reshape(b * 3, 4, 32)
+        dec = torch_savi(mode="decode", slots=flat)
+        ref_frames = dec["recons_imgs"].reshape(b, 3, 3, hw, hw).numpy()
+
+    conv_savi = convert_savi(_sd(torch_savi), exp_params["model"]["model_params"])
+    conv_pred = convert_predictor(_sd(torch_wrapper), exp_params)
+    exp_params.setdefault("tpu", {})["fast_decode"] = False
+    model = setup_model(exp_params)
+    wrapper = setup_predictor(exp_params)
+
+    videos_nhwc = jnp.asarray(videos.transpose(0, 1, 3, 4, 2))
+    out = model.apply({"params": conv_savi["params"]}, videos_nhwc[:, :2],
+                      decode=False, rngs={"slots": jax.random.PRNGKey(0)})
+    preds = wrapper.apply({"params": conv_pred["params"]}, out["slot_history"],
+                          caption_tokens=jnp.asarray(tokens),
+                          caption_lengths=jnp.asarray(lengths))
+    dec_j = model.apply({"params": conv_savi["params"]}, preds.reshape(b * 3, 4, 32),
+                        method="decode")
+    frames = np.asarray(dec_j["recons_imgs"]).reshape(b, 3, hw, hw, 3)
+    np.testing.assert_allclose(frames.transpose(0, 1, 4, 2, 3), ref_frames,
+                               rtol=1e-4, atol=1e-4)
