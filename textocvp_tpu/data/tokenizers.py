@@ -30,6 +30,8 @@ def word_tokenize(text: str) -> list[str]:
 class CustomTokenizer:
     """Fixed-vocabulary word tokenizer with batch padding."""
 
+    is_fallback = False  # real tokenization — ids match the reference's vocab
+
     def __init__(self, vocabulary: dict[str, int]):
         assert "[PAD]" in vocabulary, "Vocabulary must contain '[PAD]' token"
         self.vocabulary = vocabulary
@@ -64,9 +66,11 @@ class HashFallbackT5Tokenizer:
     Deterministic stand-in for the T5 SentencePiece tokenizer when the
     pretrained vocab is unavailable offline: maps each word to a stable id in
     [1000, 31000), appends EOS (id 1), pads with 0 and emits attention masks —
-    the exact tensor contract of the real tokenizer.
+    the exact tensor contract of the real tokenizer. Token ids do NOT match
+    the real T5 vocabulary — any downstream result is marked non-comparable.
     """
 
+    is_fallback = True
     eos_id = 1
     pad_id = 0
 
@@ -91,6 +95,8 @@ class T5TokenizerWrapper:
     (reference Cater.py:150-168): padded ids + attention masks; lengths are
     the padded length for every element."""
 
+    is_fallback = False
+
     def __init__(self, model_name: str = "t5-small"):
         from transformers import T5Tokenizer  # local files only — no egress
 
@@ -114,5 +120,14 @@ def get_tokenizer(name: str, vocabulary: Optional[dict] = None):
         try:
             return T5TokenizerWrapper()
         except Exception:
+            import warnings
+
+            warnings.warn(
+                "T5 SentencePiece vocab unavailable offline — using the "
+                "deterministic HASH tokenizer. Token ids do not match the real "
+                "T5 vocabulary; eval results will carry "
+                "'tokenizer_fallback': true.",
+                stacklevel=2,
+            )
             return HashFallbackT5Tokenizer()
     raise NameError(f"Unknown tokenizer {name!r}. Use 'T5'|'CustomTokenizer'")

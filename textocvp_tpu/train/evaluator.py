@@ -42,6 +42,16 @@ def _text_kwargs(others: dict) -> dict:
     return out
 
 
+def _tokenizer_fallback_flags(dataset) -> dict:
+    """Honesty marker: when the dataset tokenizes captions with a fallback
+    (hash ids instead of the real T5 vocab), eval numbers are not comparable
+    to the reference — record that in results.json instead of staying silent."""
+    tok = getattr(dataset, "tokenizer", None)
+    if tok is not None and getattr(tok, "is_fallback", False):
+        return {"tokenizer_fallback": True}
+    return {}
+
+
 def _progress(iterable, total=None, desc=""):
     """tqdm progress bar when available (reference baseEvaluator.py:180)."""
     try:
@@ -112,9 +122,10 @@ class DecompEvaluator:
             self.metric_tracker.accumulate(precomputed=pending)
         self.metric_tracker.aggregate()
         results = self.metric_tracker.to_json()
+        results.update(_tokenizer_fallback_flags(self.test_set))
         self.exp.save_results(self.results_name, results)
         _save_framewise_plots(self.exp, self.results_name, results, start_x=0)
-        print_(f"Results: { {k: v['mean'] for k, v in results.items()} }")
+        print_(f"Results: { {k: v['mean'] for k, v in results.items() if isinstance(v, dict)} }")
         return results
 
 
@@ -254,7 +265,8 @@ class PredictorEvaluator:
             self.metric_tracker.accumulate(precomputed=pending)
         self.metric_tracker.aggregate()
         results = self.metric_tracker.to_json()
+        results.update(_tokenizer_fallback_flags(self.test_set))
         self.exp.save_results(self.results_name, results)
         _save_framewise_plots(self.exp, self.results_name, results, start_x=self.num_context)
-        print_(f"Results: { {k: v['mean'] for k, v in results.items()} }")
+        print_(f"Results: { {k: v['mean'] for k, v in results.items() if isinstance(v, dict)} }")
         return results

@@ -205,12 +205,34 @@ class MetricTracker:
 
     METRICS = ("psnr", "ssim", "lpips")
 
-    def __init__(self, metrics=("psnr", "ssim", "lpips"), lpips_weights: Optional[dict] = None):
+    def __init__(self, metrics=("psnr", "ssim", "lpips"), lpips_weights: Optional[dict] = None,
+                 lpips_pretrained: Optional[bool] = None):
         for m in metrics:
             if m not in self.METRICS:
                 raise NameError(f"Unknown metric {m!r}. Use one of {self.METRICS}")
         self.metrics = tuple(metrics)
-        self._lpips = make_lpips_fn(lpips_weights) if "lpips" in metrics else None
+        self._lpips = None
+        self.lpips_comparable = None
+        if "lpips" in metrics:
+            if lpips_weights is None:
+                lpips_weights, pretrained = load_lpips_weights()
+            else:
+                # explicit weights are trusted unless the caller says otherwise
+                pretrained = True if lpips_pretrained is None else lpips_pretrained
+            self.lpips_comparable = bool(pretrained)
+            self._lpips = make_lpips_fn(lpips_weights)
+            if not self.lpips_comparable:
+                import warnings
+
+                warnings.warn(
+                    "LPIPS is using the deterministic RANDOM AlexNet fallback — "
+                    "values are NOT comparable to the reference (piqa/AlexNet "
+                    "pretrained). Export real weights with "
+                    "scripts/export_lpips_weights.py and point "
+                    "TEXTOCVP_LPIPS_WEIGHTS at the .npz. results.json will carry "
+                    "'lpips_comparable': false.",
+                    stacklevel=2,
+                )
         self.reset()
 
     def reset(self):
@@ -256,4 +278,8 @@ class MetricTracker:
                 "mean": round(v["mean"], 5),
                 "framewise": [round(x, 5) for x in v["framewise"]],
             }
+        if "lpips" in res and self.lpips_comparable is not None:
+            # honest marker: a random-AlexNet fallback produces lpips values
+            # that LOOK real; downstream must be able to tell them apart
+            res["lpips"]["comparable"] = self.lpips_comparable
         return res
