@@ -210,3 +210,29 @@ def test_rollout_jits_as_one_program():
 
     out = rollout(params, hist, text, lengths)
     assert out.shape == (B, 4, S, D)
+
+
+@pytest.mark.parametrize("cls", [OCVPSeq, OCVPPar])
+def test_uncond_static_rollout_matches_dynamic_window(cls):
+    """OCVPSeq/OCVPPar through the unified masked ring buffer must equal the
+    reference-style python sliding window (incl. PE re-indexing during the
+    warmup phase, where the static buffer still has padding frames)."""
+    pred = cls(num_slots=S, slot_dim=D, token_dim=16, hidden_dim=32,
+               num_layers=2, n_heads=2, residual=True, input_buffer_size=4)
+    wrapper = PredictorWrapper(predictor=pred, num_context=2, num_preds=5,
+                               teacher_force=False, input_buffer_size=4)
+    hist = _slots(3, 8)
+    params = wrapper.init(jax.random.PRNGKey(1), hist)
+    out = wrapper.apply(params, hist)
+
+    pred_params = {"params": params["params"]["predictor"]}
+    window = [hist[:, 0], hist[:, 1]]
+    manual = []
+    for t in range(5):
+        cur = pred.apply(pred_params, jnp.stack(window, axis=1))
+        manual.append(cur)
+        window.append(cur)
+        window = window[-4:]
+    manual = jnp.stack(manual, axis=1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(manual),
+                               rtol=3e-5, atol=3e-5)

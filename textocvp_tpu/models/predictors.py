@@ -44,20 +44,21 @@ class VanillaTransformerPredictor(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, slots, deterministic: bool = True, **kwargs):
+    def __call__(self, slots, self_mask=None, pe_offset=None,
+                 deterministic: bool = True, **kwargs):
         b, t, s, _ = slots.shape
         x = nn.Dense(self.token_dim, kernel_init=xavier_uniform, dtype=self.dtype,
                      name="mlp_in")(slots)
         x = SlotPositionalEncoding(
             d_model=self.token_dim, max_len=self.input_buffer_size, dtype=self.dtype, name="pe"
-        )(x, deterministic=deterministic)
+        )(x, offset=pe_offset, deterministic=deterministic)
         x = x.reshape(b, t * s, self.token_dim)
         for i in range(self.num_layers):
             x = TorchStyleEncoderLayer(
                 d_model=self.token_dim, nhead=self.n_heads,
                 dim_feedforward=self.hidden_dim, norm_first=True,
                 dtype=self.dtype, name=f"layer_{i}",
-            )(x, deterministic=deterministic)
+            )(x, mask=self_mask, deterministic=deterministic)
         x = x.reshape(b, t, s, self.token_dim)
         out = nn.Dense(self.slot_dim, kernel_init=xavier_uniform, dtype=self.dtype,
                        name="mlp_out")(x[:, -1])
@@ -65,7 +66,13 @@ class VanillaTransformerPredictor(nn.Module):
 
 
 class OCVPSeqLayer(nn.Module):
-    """Sequential object-attention then time-attention (reference OCVP.py:257-320)."""
+    """Sequential object-attention then time-attention (reference OCVP.py:257-320).
+
+    ``time_mask`` (broadcastable to (Q, T) over the time axis, True = attend)
+    excludes ring-buffer padding frames as keys in the time attention. The
+    object attention operates within a single frame, so padding frames only
+    produce (finite) garbage there that the time mask then discards.
+    """
 
     token_dim: int
     hidden_dim: int
@@ -73,7 +80,7 @@ class OCVPSeqLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, time_mask=None, deterministic: bool = True):
         b, t, s, d = x.shape
         y = x.reshape(b * t, s, d)
         y = TorchStyleEncoderLayer(
@@ -84,7 +91,7 @@ class OCVPSeqLayer(nn.Module):
         y = TorchStyleEncoderLayer(
             d_model=self.token_dim, nhead=self.n_heads, dim_feedforward=self.hidden_dim,
             norm_first=True, dtype=self.dtype, name="time_block",
-        )(y, deterministic=deterministic)
+        )(y, mask=time_mask, deterministic=deterministic)
         return y.reshape(b, s, t, d).transpose(0, 2, 1, 3)
 
 
@@ -102,18 +109,19 @@ class OCVPSeq(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, slots, deterministic: bool = True, **kwargs):
+    def __call__(self, slots, time_mask=None, pe_offset=None,
+                 deterministic: bool = True, **kwargs):
         b, t, s, _ = slots.shape
         x = nn.Dense(self.token_dim, kernel_init=xavier_uniform, dtype=self.dtype,
                      name="mlp_in")(slots)
         x = SlotPositionalEncoding(
             d_model=self.token_dim, max_len=self.input_buffer_size, dtype=self.dtype, name="pe"
-        )(x, deterministic=deterministic)
+        )(x, offset=pe_offset, deterministic=deterministic)
         for i in range(self.num_layers):
             x = OCVPSeqLayer(
                 token_dim=self.token_dim, hidden_dim=self.hidden_dim,
                 n_heads=self.n_heads, dtype=self.dtype, name=f"layer_{i}",
-            )(x, deterministic=deterministic)
+            )(x, time_mask=time_mask, deterministic=deterministic)
         out = nn.Dense(self.slot_dim, kernel_init=xavier_uniform, dtype=self.dtype,
                        name="mlp_out")(x[:, -1])
         return out + slots[:, -1] if self.residual else out
@@ -130,7 +138,7 @@ class OCVPParLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, time_mask=None, deterministic: bool = True):
         from textocvp_tpu.nn.blocks import MultiHeadSelfAttention
 
         b, t, s, d = x.shape
@@ -149,7 +157,8 @@ class OCVPParLayer(nn.Module):
         y_obj = attn_obj(y.reshape(b * t, s, d), deterministic=deterministic)
         y_obj = y_obj.reshape(b, t, s, d)
         y_time = attn_time(
-            y.transpose(0, 2, 1, 3).reshape(b * s, t, d), deterministic=deterministic
+            y.transpose(0, 2, 1, 3).reshape(b * s, t, d), mask=time_mask,
+            deterministic=deterministic,
         ).reshape(b, s, t, d).transpose(0, 2, 1, 3)
         x = x + (y_obj + y_time)
 
@@ -176,18 +185,19 @@ class OCVPPar(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, slots, deterministic: bool = True, **kwargs):
+    def __call__(self, slots, time_mask=None, pe_offset=None,
+                 deterministic: bool = True, **kwargs):
         b, t, s, _ = slots.shape
         x = nn.Dense(self.token_dim, kernel_init=xavier_uniform, dtype=self.dtype,
                      name="mlp_in")(slots)
         x = SlotPositionalEncoding(
             d_model=self.token_dim, max_len=self.input_buffer_size, dtype=self.dtype, name="pe"
-        )(x, deterministic=deterministic)
+        )(x, offset=pe_offset, deterministic=deterministic)
         for i in range(self.num_layers):
             x = OCVPParLayer(
                 token_dim=self.token_dim, hidden_dim=self.hidden_dim,
                 n_heads=self.n_heads, dtype=self.dtype, name=f"layer_{i}",
-            )(x, deterministic=deterministic)
+            )(x, time_mask=time_mask, deterministic=deterministic)
         out = nn.Dense(self.slot_dim, kernel_init=xavier_uniform, dtype=self.dtype,
                        name="mlp_out")(x[:, -1])
         return out + slots[:, -1] if self.residual else out
@@ -253,9 +263,14 @@ class TextOCVP(nn.Module):
                 dtype=self.dtype,
             )
         elif self.text_encoder_type == "t5":
-            from textocvp_tpu.nn.t5 import T5EncoderStack, T5_SMALL
+            from textocvp_tpu.nn.t5 import T5Config, T5EncoderStack, T5_SMALL
 
-            self.text_encoder = T5EncoderStack(config=T5_SMALL, dtype=self.dtype)
+            # stock configs use t5-small; explicit geometry overrides in
+            # text_encoder_params support scaled-down tests/dryruns
+            overrides = {k: v for k, v in tep.items()
+                         if k in T5Config.__dataclass_fields__}
+            cfg = T5Config(**overrides) if overrides else T5_SMALL
+            self.text_encoder = T5EncoderStack(config=cfg, dtype=self.dtype)
         elif self.text_encoder_type != "none":
             raise ValueError(f"Unknown text_encoder_type {self.text_encoder_type!r}")
 
@@ -351,11 +366,10 @@ class PredictorWrapper(nn.Module):
         slot_history: (B, T, S, D) with T >= num_context (+ num_preds if
         teacher forcing). Returns predicted slots (B, num_preds, S, D).
 
-        Warmup steps (window still growing towards ``input_buffer_size``) are
-        statically unrolled — each window length is its own shape; the
-        steady-state steps (window pinned at the buffer size) run under
-        ``lax.scan``, which keeps XLA graph size and compile time flat in
-        ``num_preds``.
+        All predictors roll out through the masked static ring buffer
+        (:meth:`_static_rollout`): one ``lax.scan`` body for every step, so
+        XLA graph size and compile time are flat in ``num_preds`` and the
+        buffer size.
         """
         num_preds = self.num_preds if num_preds is None else num_preds
         teacher_force = self.teacher_force if teacher_force is None else teacher_force
@@ -372,77 +386,22 @@ class PredictorWrapper(nn.Module):
             )
             text_kv = self.predictor.precompute_text_kv(text_embeddings)
 
-        if is_text:
-            # TextOCVP supports the fully static masked ring buffer: one scan
-            # body for ALL steps (compile time flat in num_preds and buffer).
-            return self._static_rollout(
-                slot_history, num_preds, teacher_force, text_kv, deterministic
-            )
-
-        def step(window_arr):
-            if is_text:
-                return self.predictor(window_arr, text_kv=text_kv,
-                                      deterministic=deterministic)
-            return self.predictor(window_arr, deterministic=deterministic)
-
-        window = [slot_history[:, i] for i in range(self.num_context)]
-        preds = []
-        t = 0
-        # ---- warmup: unroll while the window is still growing
-        while t < num_preds and len(window) < self.buffer_size:
-            cur = step(jnp.stack(window, axis=1))
-            preds.append(cur)
-            nxt = slot_history[:, self.num_context + t] if teacher_force else cur
-            window.append(nxt)
-            window = window[-self.buffer_size:]
-            t += 1
-
-        remaining = num_preds - t
-        if remaining <= 0:
-            return jnp.stack(preds, axis=1)
-        if remaining == 1:
-            preds.append(step(jnp.stack(window, axis=1)))
-            return jnp.stack(preds, axis=1)
-
-        # ---- steady state: fixed-size window under lax.scan
-        buf = jnp.stack(window, axis=1)  # (B, L, S, D)
-        if teacher_force:
-            gt_rest = slot_history[:, self.num_context + t : self.num_context + num_preds]
-            xs = jnp.moveaxis(gt_rest, 1, 0)  # (steps, B, S, D)
-        else:
-            xs = None
-
-        def body(mdl, buf, x):
-            if is_text:
-                cur = mdl(buf, text_kv=text_kv, deterministic=deterministic)
-            else:
-                cur = mdl(buf, deterministic=deterministic)
-            nxt = x if teacher_force else cur
-            buf = jnp.concatenate([buf[:, 1:], nxt[:, None]], axis=1)
-            return buf, cur
-
-        scan = nn.scan(
-            body,
-            variable_broadcast="params",
-            split_rngs={"params": False, "dropout": True},
-            length=remaining,
+        return self._static_rollout(
+            slot_history, num_preds, teacher_force, text_kv, is_text, deterministic
         )
-        _, rest = scan(self.predictor, buf, xs)  # rest: (steps, B, S, D)
-        preds_arr = jnp.stack(preds, axis=1) if preds else None
-        rest = jnp.moveaxis(rest, 0, 1)  # (B, steps, S, D)
-        if preds_arr is None:
-            return rest
-        return jnp.concatenate([preds_arr, rest], axis=1)
 
     def _static_rollout(self, slot_history, num_preds, teacher_force, text_kv,
-                        deterministic):
+                        is_text, deterministic):
         """
-        Zero-padded static ring buffer: the window always has
-        ``input_buffer_size`` frames (newest at the last index); padding
-        positions are excluded from self-attention via a key mask, which is
-        exactly equivalent to the reference's shorter dynamic window. Every
-        rollout step then has the same shape and the whole rollout is one
-        ``lax.scan``.
+        Zero-padded static ring buffer, used by ALL predictors: the window
+        always has ``input_buffer_size`` frames (newest at the last index);
+        padding positions are excluded from attention via a key mask, which is
+        exactly equivalent to the reference's shorter dynamic window. The
+        unconditioned predictors additionally receive a PE offset so the
+        oldest *valid* frame gets pe[0] (their SlotPositionalEncoding is not
+        flipped, unlike TextOCVP's TemporalPositionalEncoding). Every rollout
+        step has the same shape, so the whole rollout is one ``lax.scan`` —
+        compile time is flat in both ``num_preds`` and the buffer size.
         """
         b, _, s, d = slot_history.shape
         L = self.buffer_size
@@ -461,11 +420,20 @@ class PredictorWrapper(nn.Module):
 
         def body(mdl, carry, x):
             buf, cnt = carry
-            # frame i is valid iff i >= L - cnt; expand to slot tokens
+            # frame i is valid iff i >= L - cnt
             frame_valid = jnp.arange(L) >= (L - cnt)
-            key_mask = jnp.repeat(frame_valid, s)[None, None, :]  # (1, 1, L*S)
-            cur = mdl(buf, text_kv=text_kv, self_mask=key_mask,
-                      deterministic=deterministic)
+            if is_text:
+                key_mask = jnp.repeat(frame_valid, s)[None, None, :]  # (1, 1, L*S)
+                cur = mdl(buf, text_kv=text_kv, self_mask=key_mask,
+                          deterministic=deterministic)
+            elif isinstance(mdl, VanillaTransformerPredictor):
+                key_mask = jnp.repeat(frame_valid, s)[None, None, :]
+                cur = mdl(buf, self_mask=key_mask, pe_offset=L - cnt,
+                          deterministic=deterministic)
+            else:  # OCVPSeq / OCVPPar: mask the time-attention keys
+                time_mask = frame_valid[None, None, :]  # (1, 1, L)
+                cur = mdl(buf, time_mask=time_mask, pe_offset=L - cnt,
+                          deterministic=deterministic)
             nxt = x if teacher_force else cur
             buf = jnp.concatenate([buf[:, 1:], nxt[:, None]], axis=1)
             cnt = jnp.minimum(cnt + 1, L)

@@ -449,6 +449,11 @@ class SlotPositionalEncoding(nn.Module):
     Sinusoidal per-timestep PE shared across all slots of a frame, preserving
     slot permutation equivariance (reference model_blocks.py:230-290).
     Input: (B, T, S, D); oldest frame gets pe[0].
+
+    ``offset`` (a traced scalar) supports the zero-padded static ring buffer:
+    frame index ``i`` receives ``pe[i - offset]`` so the oldest *valid* frame
+    gets ``pe[0]``, exactly like the reference's shorter dynamic window
+    (padding frames clamp to ``pe[0]``; they are masked out of attention).
     """
 
     d_model: int
@@ -457,10 +462,14 @@ class SlotPositionalEncoding(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, offset=None, deterministic: bool = True):
         t = x.shape[1]
         pe = jnp.asarray(sinusoid_table(self.max_len, self.d_model), dtype=self.dtype)
-        x = x + pe[None, :t, None, :]
+        if offset is None:
+            x = x + pe[None, :t, None, :]
+        else:
+            idx = jnp.maximum(jnp.arange(t) - offset, 0)
+            x = x + jnp.take(pe, idx, axis=0)[None, :, None, :]
         if self.dropout > 0 and not deterministic:
             x = nn.Dropout(self.dropout, deterministic=False)(x)
         return x
