@@ -143,3 +143,65 @@ def test_bfloat16_compute_dtype():
     out = model.apply(variables, videos, rngs={"slots": jax.random.PRNGKey(2)})
     assert out["recons_imgs"].dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out["recons_imgs"], dtype=np.float32)).all()
+
+
+def test_hybrid_mesh_axes_and_batch_sharding():
+    """(dcn, data, model) hybrid mesh: batch shards over ('dcn', 'data')."""
+    import jax
+    import jax.numpy as jnp
+
+    from textocvp_tpu.parallel.distributed import get_hybrid_mesh
+    from textocvp_tpu.parallel.mesh import batch_sharding, pad_batch_to_multiple, shard_batch
+
+    mesh = get_hybrid_mesh(data=2, model=2, dcn=2)
+    assert mesh.axis_names == ("dcn", "data", "model")
+    assert dict(mesh.shape) == {"dcn": 2, "data": 2, "model": 2}
+
+    x = jnp.arange(4 * 3, dtype=jnp.float32).reshape(4, 3)
+    sharded = shard_batch(x, mesh)
+    assert not sharded.sharding.is_fully_replicated
+    assert sharded.sharding == batch_sharding(mesh)
+    # dcn*data = 4 rows per shard group
+    assert pad_batch_to_multiple(5, mesh) == 8
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(x))
+
+
+def test_loader_process_sharding_partitions_batches():
+    """Per-process input sharding: N processes each load a disjoint contiguous
+    slice of every global batch; the union reassembles the global batch in
+    ('dcn','data') row order."""
+    from textocvp_tpu.data.loader import DataLoader
+
+    class Ds:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return np.full((2, 4, 4, 3), i, np.float32), f"cap{i}"
+
+    global_loader = DataLoader(Ds(), batch_size=8, shuffle=True, num_workers=0, seed=7)
+    shards = [DataLoader(Ds(), batch_size=8, shuffle=True, num_workers=0, seed=7,
+                         process_index=i, process_count=2) for i in range(2)]
+
+    g_batches = [v for v, _ in global_loader]
+    s_batches = [[v for v, _ in s] for s in shards]
+    assert len(s_batches[0]) == len(g_batches)
+    for gi, g in enumerate(g_batches):
+        reassembled = np.concatenate([s_batches[0][gi], s_batches[1][gi]], axis=0)
+        np.testing.assert_array_equal(reassembled, g)
+
+
+def test_runtime_mesh_single_process_is_ici_mesh():
+    from textocvp_tpu.parallel.distributed import get_runtime_mesh
+
+    mesh = get_runtime_mesh({"mesh_axes": {"data": 4, "model": 2}})
+    assert mesh.axis_names == ("data", "model")
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+
+def test_maybe_initialize_distributed_noop_without_env(monkeypatch):
+    from textocvp_tpu.parallel import distributed
+
+    monkeypatch.delenv("TEXTOCVP_COORDINATOR", raising=False)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    assert distributed.maybe_initialize_distributed() is False

@@ -67,3 +67,72 @@ def test_tp_sharded_rollout_matches_replicated():
     with mesh:
         out = fn(sharded_params, hist_s, text_s, lengths_s)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=1e-5)
+
+
+def test_t5_tp_sharded_rollout_matches_replicated():
+    """The flagship T5 path under TP: Megatron-sharded predictor AND T5
+    encoder kernels (q/k/v col, o row, wi col, wo row) on a (4, 2) mesh must
+    reproduce the replicated rollout."""
+    mesh = get_mesh(data=4, model=2)
+    pred = TextOCVP(
+        num_slots=S, slot_dim=D, token_dim=32, n_heads=2, hidden_dim=64,
+        num_layers=2, residual=True, input_buffer_size=3,
+        fusion_num_heads=2, fusion_head_dim=16, fusion_mlp_size=64,
+        text_encoder_type="t5",
+        text_encoder_params={"vocab_size": 64, "d_model": 32, "d_kv": 16,
+                             "d_ff": 64, "num_layers": 2, "num_heads": 2},
+    )
+    wrapper = PredictorWrapper(predictor=pred, num_context=2, num_preds=3,
+                               teacher_force=False, input_buffer_size=3)
+    hist = jax.random.normal(jax.random.PRNGKey(0), (B, 2, S, D))
+    text = jnp.ones((B, 6), jnp.int32)
+    masks = jnp.ones((B, 6), jnp.int32)
+    params = wrapper.init(jax.random.PRNGKey(1), hist, caption_tokens=text,
+                          attn_masks=masks)["params"]
+
+    # T5 kernels must actually receive TP specs
+    specs = predictor_param_specs(params)
+    t5_layer = specs["predictor"]["text_encoder"]["layer_0"]
+    assert tuple(t5_layer["attn"]["q"]["kernel"]) == (None, "model")
+    assert tuple(t5_layer["attn"]["o"]["kernel"]) == ("model", None)
+    assert tuple(t5_layer["wi"]["kernel"]) == (None, "model")
+    assert tuple(t5_layer["wo"]["kernel"]) == ("model", None)
+
+    rep = jax.device_put(params, replicated_sharding(mesh))
+    with mesh:
+        ref = jax.jit(lambda v: wrapper.apply(
+            {"params": v}, hist, caption_tokens=text, attn_masks=masks))(rep)
+    tp = shard_predictor_params(
+        jax.device_put(params, replicated_sharding(mesh)), mesh)
+    hist_s = jax.device_put(hist, batch_sharding(mesh))
+    with mesh:
+        out = jax.jit(lambda v, h: wrapper.apply(
+            {"params": v}, h, caption_tokens=text, attn_masks=masks))(tp, hist_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_pad_batch_keeps_metrics_exact():
+    """Ragged batches pad to the data-axis multiple (staying sharded) and
+    per-sample metric rows slice back exactly — no contamination from the
+    repeated padding rows."""
+    from textocvp_tpu.parallel.mesh import pad_batch, shard_batch
+    from textocvp_tpu.train.metrics import psnr
+
+    mesh = get_mesh(data=8, model=1)
+    rng = np.random.default_rng(3)
+    videos = rng.uniform(0, 1, (5, 2, 8, 8, 3)).astype(np.float32)
+    text = {"caption_tokens": np.ones((5, 4), np.int32)}
+
+    (videos_p, text_p), b = pad_batch((videos, text), mesh)
+    assert b == 5 and videos_p.shape[0] == 8
+    assert text_p["caption_tokens"].shape[0] == 8
+    np.testing.assert_array_equal(videos_p[5], videos[4])  # edge repeat
+
+    sharded = shard_batch(jnp.asarray(videos_p), mesh)
+    # padded rows divide evenly -> actually sharded, not replicated
+    assert not sharded.sharding.is_fully_replicated
+
+    targets = np.clip(videos_p + 0.01, 0, 1)
+    vals = np.asarray(psnr(sharded, jnp.asarray(targets)))[:b]
+    ref = np.asarray(psnr(jnp.asarray(videos), jnp.asarray(targets[:5])))
+    np.testing.assert_allclose(vals, ref, rtol=1e-6)

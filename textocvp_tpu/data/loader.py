@@ -64,11 +64,23 @@ class DataLoader:
 
     ``num_workers`` threads fetch items; up to ``prefetch`` assembled batches
     are buffered ahead of the consumer.
+
+    Multi-host: with ``process_count > 1`` each process loads only its own
+    1/process_count slice of every global batch (contiguous rows, same
+    shuffle order on every host thanks to the shared seed), matching the
+    ('dcn', 'data') global-batch sharding assembled by
+    ``parallel.mesh.shard_batch``. ``batch_size`` stays the GLOBAL batch size.
     """
 
     def __init__(self, dataset, batch_size: int = 8, shuffle: bool = False,
                  num_workers: Optional[int] = None, prefetch: int = 2,
-                 drop_last: bool = False, seed: int = 14):
+                 drop_last: bool = False, seed: int = 14,
+                 process_index: int = 0, process_count: int = 1):
+        assert 0 <= process_index < process_count
+        if process_count > 1 and batch_size % process_count:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly over "
+                f"{process_count} processes")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -77,6 +89,8 @@ class DataLoader:
         self.drop_last = drop_last
         self._epoch = 0
         self._seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -93,6 +107,14 @@ class DataLoader:
         batches = [order[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        if self.process_count > 1:
+            # contiguous per-process slice of each GLOBAL batch, matching the
+            # row order jax.make_array_from_process_local_data expects for a
+            # ('dcn', 'data')-sharded global array
+            per = self.batch_size // self.process_count
+            batches = [b[self.process_index * per : (self.process_index + 1) * per]
+                       for b in batches]
+            batches = [b for b in batches if len(b)]
         return batches
 
     def _collate(self, items):

@@ -33,9 +33,23 @@ def get_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
     return Mesh(devices.reshape(data, model), ("data", "model"))
 
 
+def _batch_axes(mesh: Mesh) -> tuple:
+    """Mesh axes the batch dim shards over: ('dcn', 'data') on hybrid
+    multi-host meshes, ('data',) otherwise."""
+    return ("dcn", "data") if "dcn" in mesh.axis_names else ("data",)
+
+
+def _batch_axis_size(mesh: Mesh) -> int:
+    size = 1
+    for a in _batch_axes(mesh):
+        size *= mesh.shape[a]
+    return size
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis across the data axis."""
-    return NamedSharding(mesh, P("data"))
+    """Shard the leading (batch) axis across the data axis (and the dcn axis
+    on hybrid multi-host meshes)."""
+    return NamedSharding(mesh, P(_batch_axes(mesh)))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
@@ -49,10 +63,14 @@ def shard_batch(batch, mesh: Mesh):
     strings) pass through."""
     sharding = batch_sharding(mesh)
     replicated = replicated_sharding(mesh)
-    d = mesh.shape["data"]
+    d = _batch_axis_size(mesh)
+    multiprocess = "dcn" in mesh.axis_names and jax.process_count() > 1
 
     def put(x):
         if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) >= 1:
+            if multiprocess:
+                # each process holds only its local shard of the global batch
+                return jax.make_array_from_process_local_data(sharding, np.asarray(x))
             target = sharding if x.shape[0] % d == 0 else replicated
             return jax.device_put(x, target)
         return x
@@ -61,9 +79,37 @@ def shard_batch(batch, mesh: Mesh):
 
 
 def pad_batch_to_multiple(batch_size: int, mesh: Mesh) -> int:
-    """Smallest batch size >= batch_size divisible by the data-axis size."""
-    d = mesh.shape["data"]
+    """Smallest batch size >= batch_size divisible by the batch-sharding axes."""
+    d = _batch_axis_size(mesh)
     return ((batch_size + d - 1) // d) * d
+
+
+def pad_batch(batch, mesh: Mesh):
+    """
+    Pad every array leaf's leading (batch) dim up to the data-axis multiple by
+    repeating the last row, so ragged final batches stay SHARDED instead of
+    silently replicating (each chip would otherwise redundantly compute the
+    full batch). Returns ``(padded_batch, original_batch_size)`` — the caller
+    must slice per-sample outputs back to the original size.
+    """
+    leaves = [x for x in jax.tree_util.tree_leaves(batch)
+              if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) >= 1]
+    if not leaves:
+        return batch, 0
+    b = leaves[0].shape[0]
+    target = pad_batch_to_multiple(b, mesh)
+    if target == b:
+        return batch, b
+
+    reps = np.concatenate([np.arange(b), np.full(target - b, b - 1)]).astype(np.int32)
+
+    def pad(x):
+        if isinstance(x, (np.ndarray, jax.Array)) and getattr(x, "ndim", 0) >= 1 \
+                and x.shape[0] == b:
+            return np.asarray(x)[reps]
+        return x
+
+    return jax.tree_util.tree_map(pad, batch), b
 
 
 def device_prefetch(iterator, mesh: Mesh, size: int = 2):

@@ -27,10 +27,10 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-_COL_KERNELS = ("q", "k", "v")          # shard output dim
-_ROW_KERNELS = ("out",)                  # shard input dim
-_COL_DENSE = ("Dense_0", "linear1")      # MLP up-projection
-_ROW_DENSE = ("Dense_1", "linear2")      # MLP down-projection
+_COL_KERNELS = ("q", "k", "v")           # shard output dim
+_ROW_KERNELS = ("out", "o")              # shard input dim ("o" = T5 out proj)
+_COL_DENSE = ("Dense_0", "linear1", "wi")  # MLP up-projection (wi = T5 FF)
+_ROW_DENSE = ("Dense_1", "linear2", "wo")  # MLP down-projection
 
 
 def _spec_for_path(path: tuple[str, ...], ndim: int, model_axis: str) -> P:
@@ -49,9 +49,9 @@ def _spec_for_path(path: tuple[str, ...], ndim: int, model_axis: str) -> P:
         return P(None, model_axis)
     if name in _ROW_DENSE and parent in ("mlp",):
         return P(model_axis, None)
-    if name in ("linear1",):
+    if name in ("linear1", "wi"):
         return P(None, model_axis)
-    if name in ("linear2",):
+    if name in ("linear2", "wo"):
         return P(model_axis, None)
     return P()
 

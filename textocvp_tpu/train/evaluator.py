@@ -28,7 +28,17 @@ from textocvp_tpu.core.experiment import Experiment
 from textocvp_tpu.core.logger import Logger, print_
 from textocvp_tpu.data import DataLoader, load_data
 from textocvp_tpu.models import setup_model, setup_predictor
-from textocvp_tpu.parallel.mesh import get_mesh, shard_batch
+from textocvp_tpu.parallel.distributed import (
+    get_runtime_mesh,
+    maybe_initialize_distributed,
+)
+from textocvp_tpu.parallel.mesh import (
+    get_mesh,
+    pad_batch,
+    replicated_sharding,
+    shard_batch,
+)
+from textocvp_tpu.parallel.partitioning import shard_predictor_params
 from textocvp_tpu.train.checkpoints import checkpoint_path, load_checkpoint
 from textocvp_tpu.train.metrics import MetricTracker
 
@@ -40,6 +50,17 @@ def _text_kwargs(others: dict) -> dict:
         if v is not None:
             out[k] = jnp.asarray(v)
     return out
+
+
+def _proc_kwargs() -> dict:
+    """Per-process input sharding (multi-host): each process loads its own
+    slice of every global batch; single-process runs are unaffected."""
+    import jax
+
+    if jax.process_count() > 1:
+        return {"process_index": jax.process_index(),
+                "process_count": jax.process_count()}
+    return {}
 
 
 def _tokenizer_fallback_flags(dataset) -> dict:
@@ -76,14 +97,15 @@ class DecompEvaluator:
         self.results_name = results_name or f"eval_decomp_{checkpoint}"
         # inference-only: the gather-expand fuses best (no backward pass)
         self.exp_params.setdefault("tpu", {})["fast_decode_expand"] = "gather"
-        self.mesh = get_mesh(**(self.exp_params.get("tpu") or {}).get(
-            "mesh_axes", {"data": -1, "model": 1}))
+        maybe_initialize_distributed()
+        self.mesh = get_runtime_mesh(self.exp_params.get("tpu"))
         self.model = setup_model(self.exp_params)
         self.metric_tracker = MetricTracker(metrics)
 
     def load_data(self):
         self.test_set = load_data(self.exp_params, split="test")
-        self.test_loader = DataLoader(self.test_set, batch_size=self.batch_size, shuffle=False)
+        self.test_loader = DataLoader(self.test_set, batch_size=self.batch_size, shuffle=False,
+                                      **_proc_kwargs())
 
     def load_model(self, sample_videos: np.ndarray):
         init_rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
@@ -95,6 +117,7 @@ class DecompEvaluator:
                 jnp.asarray, restored["batch_stats"])
         elif "batch_stats" in variables:
             self.variables["batch_stats"] = variables["batch_stats"]
+        self.variables = jax.device_put(self.variables, replicated_sharding(self.mesh))
         model = self.model
         tracker = self.metric_tracker
 
@@ -112,12 +135,15 @@ class DecompEvaluator:
         pending = None  # accumulate batch i-1 while batch i computes
         for videos, _ in _progress(self.test_loader, total=len(self.test_loader), desc="eval"):
             step += 1
-            batch = shard_batch(jnp.asarray(videos), self.mesh)
+            # pad ragged final batches to the data-axis multiple (stay sharded
+            # instead of replicating), then drop the padded rows from metrics
+            padded, b = pad_batch(np.asarray(videos), self.mesh)
+            batch = shard_batch(jnp.asarray(padded), self.mesh)
             rng = jax.random.fold_in(jax.random.PRNGKey(14), step)
             vals = self.eval_step(self.variables, batch, rng)
             if pending is not None:
                 self.metric_tracker.accumulate(precomputed=pending)
-            pending = vals
+            pending = {k: v[:b] for k, v in vals.items()}
         if pending is not None:
             self.metric_tracker.accumulate(precomputed=pending)
         self.metric_tracker.aggregate()
@@ -176,15 +202,16 @@ class PredictorEvaluator:
         )
         # inference-only: the gather-expand fuses best (no backward pass)
         self.exp_params.setdefault("tpu", {})["fast_decode_expand"] = "gather"
-        self.mesh = get_mesh(**(self.exp_params.get("tpu") or {}).get(
-            "mesh_axes", {"data": -1, "model": 1}))
+        maybe_initialize_distributed()
+        self.mesh = get_runtime_mesh(self.exp_params.get("tpu"))
         self.decomp_model = setup_model(self.exp_params)
         self.predictor = setup_predictor(self.exp_params)
         self.metric_tracker = MetricTracker(metrics)
 
     def load_data(self):
         self.test_set = load_data(self.exp_params, split="test")
-        self.test_loader = DataLoader(self.test_set, batch_size=self.batch_size, shuffle=False)
+        self.test_loader = DataLoader(self.test_set, batch_size=self.batch_size, shuffle=False,
+                                      **_proc_kwargs())
 
     def load_models(self, sample_videos: np.ndarray, sample_text: Optional[dict] = None):
         c, p = self.num_context, self.num_preds
@@ -199,6 +226,8 @@ class PredictorEvaluator:
                 jnp.asarray, restored["batch_stats"])
         elif "batch_stats" in init_vars:
             self.decomp_vars["batch_stats"] = init_vars["batch_stats"]
+        # small decomp model: always replicated across the mesh
+        self.decomp_vars = jax.device_put(self.decomp_vars, replicated_sharding(self.mesh))
 
         slot_sample = self.decomp_model.apply(
             {"params": self.decomp_vars["params"]}, videos[:, :c], decode=False,
@@ -208,6 +237,13 @@ class PredictorEvaluator:
         self.predictor.init({"params": jax.random.PRNGKey(3)}, slot_sample, **text_kwargs)
         pred_restored = load_checkpoint(checkpoint_path(self.exp.models_dir, self.pred_ckpt))
         self.pred_params = jax.tree_util.tree_map(jnp.asarray, pred_restored["params"])
+        if self.mesh.shape["model"] > 1:
+            # tensor-parallel serving: Megatron-pattern sharding of the
+            # predictor's large matmuls over the 'model' axis
+            self.pred_params = shard_predictor_params(self.pred_params, self.mesh)
+        else:
+            self.pred_params = jax.device_put(self.pred_params,
+                                              replicated_sharding(self.mesh))
         self._build_step()
 
     def _build_step(self):
@@ -255,12 +291,15 @@ class PredictorEvaluator:
         pending = None  # accumulate batch i-1 while batch i computes
         for videos, others in _progress(self.test_loader, total=len(self.test_loader), desc="eval"):
             step += 1
-            batch = shard_batch(jnp.asarray(videos), self.mesh)
+            padded, b = pad_batch((np.asarray(videos), _text_kwargs(others)), self.mesh)
+            videos_p, text_p = padded
+            batch = shard_batch(jnp.asarray(videos_p), self.mesh)
+            text_p = shard_batch(text_p, self.mesh)
             rng = jax.random.fold_in(jax.random.PRNGKey(14), step)
-            vals, _ = self.eval_step(self.pred_params, batch, rng, **_text_kwargs(others))
+            vals, _ = self.eval_step(self.pred_params, batch, rng, **text_p)
             if pending is not None:
                 self.metric_tracker.accumulate(precomputed=pending)
-            pending = vals
+            pending = {k: v[:b] for k, v in vals.items()}
         if pending is not None:
             self.metric_tracker.accumulate(precomputed=pending)
         self.metric_tracker.aggregate()

@@ -25,7 +25,12 @@ from textocvp_tpu.core.experiment import Experiment
 from textocvp_tpu.core.logger import Logger, print_
 from textocvp_tpu.data import DataLoader, load_data
 from textocvp_tpu.models import setup_model, setup_predictor
-from textocvp_tpu.parallel.mesh import get_mesh
+from textocvp_tpu.parallel.distributed import (
+    get_runtime_mesh,
+    maybe_initialize_distributed,
+)
+from textocvp_tpu.parallel.mesh import get_mesh, replicated_sharding
+from textocvp_tpu.parallel.partitioning import shard_predictor_params
 from textocvp_tpu.train.checkpoints import checkpoint_path, load_checkpoint, save_checkpoint
 from textocvp_tpu.train.losses import build_loss_fn
 from textocvp_tpu.train.schedulers import build_optimizer
@@ -38,6 +43,17 @@ def _text_kwargs(others: dict) -> dict:
         if v is not None:
             out[k] = jnp.asarray(v)
     return out
+
+
+def _proc_kwargs() -> dict:
+    """Per-process input sharding (multi-host): each process loads its own
+    slice of every global batch; single-process runs are unaffected."""
+    import jax
+
+    if jax.process_count() > 1:
+        return {"process_index": jax.process_index(),
+                "process_count": jax.process_count()}
+    return {}
 
 
 class PredictorTrainer:
@@ -58,8 +74,8 @@ class PredictorTrainer:
         self.checkpoint = checkpoint
         self.resume_training = resume_training
 
-        self.mesh = get_mesh(**(self.exp_params.get("tpu") or {}).get(
-            "mesh_axes", {"data": -1, "model": 1}))
+        maybe_initialize_distributed()
+        self.mesh = get_runtime_mesh(self.exp_params.get("tpu"))
         self.decomp_model = setup_model(self.exp_params)
         self.predictor = setup_predictor(self.exp_params)
         self.loss_fn = build_loss_fn(self.exp_params["predictor_loss"])
@@ -75,14 +91,19 @@ class PredictorTrainer:
         exp_params = dict(self.exp_params)
         exp_params["dataset"] = {**self.exp_params["dataset"], "num_frames": num_frames}
         bs = self.training_params["batch_size"]
+        d = self.mesh.shape["data"]
+        if bs % d:
+            print_(f"batch_size {bs} is not divisible by the data axis ({d}); "
+                   "ragged batches will replicate across chips — pad the batch "
+                   "size for full utilization", "warning")
         self.train_set = load_data(exp_params, split="train")
         self.valid_set = load_data(exp_params, split="valid")
         self.train_loader = DataLoader(
             self.train_set, batch_size=bs,
-            shuffle=exp_params["dataset"].get("shuffle_train", True))
+            shuffle=exp_params["dataset"].get("shuffle_train", True), **_proc_kwargs())
         self.valid_loader = DataLoader(
             self.valid_set, batch_size=bs,
-            shuffle=exp_params["dataset"].get("shuffle_eval", False))
+            shuffle=exp_params["dataset"].get("shuffle_eval", False), **_proc_kwargs())
 
     # ----------------------------------------------------------------- model
     def setup_model(self, sample_videos: np.ndarray, sample_text: Optional[dict] = None):
@@ -105,7 +126,8 @@ class PredictorTrainer:
                 jnp.asarray,
                 {"params": restored["params"],
                  "batch_stats": restored.get("batch_stats", {}) or {}},
-            )
+            ),
+            replicated_sharding(self.mesh),
         )
         del decomp_target
 
@@ -119,8 +141,10 @@ class PredictorTrainer:
             {"params": jax.random.PRNGKey(3)}, slot_sample, **text_kwargs
         )
         self.params = pred_vars["params"]
+        self._place_params()
 
         self.tx, self.lr_schedule = build_optimizer(self.training_params)
+        # opt_state moments are zeros_like(params) and inherit their shardings
         self.opt_state = self.tx.init(self.params)
 
         if self.checkpoint is not None:
@@ -130,12 +154,22 @@ class PredictorTrainer:
                         "epoch": 0, "step": 0, "batch_stats": {}},
             )
             self.params = ckpt["params"]
+            self._place_params()
             if self.resume_training:
                 self.opt_state = ckpt["opt_state"]
                 self.start_epoch = int(ckpt["epoch"])
                 self.global_step = int(ckpt["step"])
 
         self._build_steps()
+
+    def _place_params(self):
+        """Tensor-parallel placement: with ``tpu.mesh_axes.model > 1`` the
+        predictor's large matmuls shard over the 'model' axis (Megatron
+        pattern, parallel/partitioning.py); otherwise params replicate."""
+        if self.mesh.shape["model"] > 1:
+            self.params = shard_predictor_params(self.params, self.mesh)
+        else:
+            self.params = jax.device_put(self.params, replicated_sharding(self.mesh))
 
     def _build_steps(self):
         decomp_model = self.decomp_model

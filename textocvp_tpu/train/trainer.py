@@ -32,6 +32,10 @@ from textocvp_tpu.core.experiment import Experiment
 from textocvp_tpu.core.logger import Logger, print_
 from textocvp_tpu.data import DataLoader, load_data
 from textocvp_tpu.models import setup_model
+from textocvp_tpu.parallel.distributed import (
+    get_runtime_mesh,
+    maybe_initialize_distributed,
+)
 from textocvp_tpu.parallel.mesh import get_mesh
 from textocvp_tpu.train.checkpoints import checkpoint_path, load_checkpoint, save_checkpoint
 from textocvp_tpu.train.losses import build_loss_fn
@@ -56,6 +60,17 @@ def freeze_labels(params, frozen_prefixes: tuple[str, ...]):
     return labels
 
 
+
+def _proc_kwargs() -> dict:
+    """Per-process input sharding (multi-host): each process loads its own
+    slice of every global batch; single-process runs are unaffected."""
+    import jax
+
+    if jax.process_count() > 1:
+        return {"process_index": jax.process_index(),
+                "process_count": jax.process_count()}
+    return {}
+
 class DecompTrainer:
     """Trainer for SAVi / ExtendedDINOSAUR decomposition models."""
 
@@ -69,8 +84,8 @@ class DecompTrainer:
         self.checkpoint = checkpoint
         self.resume_training = resume_training
 
-        self.mesh = get_mesh(**(self.exp_params.get("tpu") or {}).get(
-            "mesh_axes", {"data": -1, "model": 1}))
+        maybe_initialize_distributed()
+        self.mesh = get_runtime_mesh(self.exp_params.get("tpu"))
         self.model = setup_model(self.exp_params)
         self.loss_fn = build_loss_fn(self.exp_params["loss"])
         self.start_epoch = 0
@@ -84,10 +99,12 @@ class DecompTrainer:
         self.valid_set = load_data(self.exp_params, split="valid")
         self.train_loader = DataLoader(
             self.train_set, batch_size=bs,
-            shuffle=self.exp_params["dataset"].get("shuffle_train", True))
+            shuffle=self.exp_params["dataset"].get("shuffle_train", True),
+            **_proc_kwargs())
         self.valid_loader = DataLoader(
             self.valid_set, batch_size=bs,
-            shuffle=self.exp_params["dataset"].get("shuffle_eval", False))
+            shuffle=self.exp_params["dataset"].get("shuffle_eval", False),
+            **_proc_kwargs())
         print_(f"Loaded {len(self.train_set)} train / {len(self.valid_set)} valid sequences")
 
     # ----------------------------------------------------------------- model
