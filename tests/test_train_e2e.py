@@ -132,9 +132,17 @@ def test_predictor_fig_generation(trained_exp, trained_predictor):
     seq_dirs = sorted(out_dir.glob("sequence_*"))
     assert len(seq_dirs) == 2
     d = seq_dirs[0]
-    assert (d / "qualitative.png").exists()
-    assert (d / "prediction.gif").exists()
-    assert (d / "ground_truth.gif").exists()
+    # full reference output inventory per sequence
+    # (reference 06_generate_figs_predictor.py:147-261)
+    assert (d / "qual_eval_rgb.png").exists()
+    assert (d / "aligned_slots.png").exists()
+    assert (d / "gt_GIF_frames.gif").exists()
+    assert (d / "pred_GIF_frames.gif").exists()
+    assert (d / "masks_GIF_masks.gif").exists()
+    assert (d / "overlay_GIF.gif").exists()
+    num_slots = gen.exp_params["model"]["model_params"]["num_slots"]
+    for obj_id in range(num_slots):
+        assert (d / f"gt_obj_{obj_id + 1}.gif").exists()
     assert "ball" in (d / "prompt.txt").read_text()
     # per-seq metrics in the directory name (reference 06:83-92)
     assert "psnr=" in d.name and "lpips=" in d.name

@@ -81,7 +81,7 @@ class PredictorFigGenerator(PredictorEvaluator):
         super().load_models(sample_videos, sample_text)
         decomp_model = self.decomp_model
         decomp_vars = self.decomp_vars
-        p = self.num_preds
+        c, p = self.num_context, self.num_preds
         num_slots = self.exp_params["model"]["model_params"]["num_slots"]
         slot_dim = self.exp_params["model"]["model_params"]["slot_dim"]
 
@@ -93,7 +93,32 @@ class PredictorFigGenerator(PredictorEvaluator):
                 method="decode",
             )
 
+        @jax.jit
+        def decode_seed(videos, rng):
+            """Seed frames decomposed WITH decoding (objects + masks for the
+            aligned-slots figure; reference 06_generate_figs_predictor.py:108-127)."""
+            return decomp_model.apply(decomp_vars, videos[:, :c], decode=True,
+                                      rngs={"slots": rng})
+
         self.decode_full = decode_full
+        self.decode_seed = decode_seed
+
+    # ------------------------------------------------------------- per-seq figs
+    @staticmethod
+    def _objs_masks(frames, objs, masks):
+        """Normalize SAVi / DINOSAUR mask layouts to per-object crops
+        (T, S, h, w, C), spatial masks (T, S, h, w) and matching frames.
+        SAVi: masks (T, S, H, W, 1) + decoded per-object RGB. DINOSAUR:
+        masks (T, S, 1, gh, gw) patch-grid alphas, objects built by masking
+        the frames at 96px (reference 06_generate_figs_predictor.py:160-171)."""
+        if masks is None:
+            return None, None, frames
+        masks = np.asarray(masks)
+        if masks.shape[-1] == 1:  # SAVi
+            objs = np.asarray(objs) * masks
+            return objs, masks[..., 0], frames
+        return viz.process_objs_masks_dinosaur(frames, masks, out_size=96,
+                                               return_all=True)
 
     def generate_figs(self):
         out_dir = self.exp.plots_dir / (
@@ -111,41 +136,64 @@ class PredictorFigGenerator(PredictorEvaluator):
             psnr_v = float(np.asarray(vals["psnr"]).mean())
             lpips_v = float(np.asarray(vals["lpips"]).mean()) if "lpips" in vals else 0.0
             seq_dir = out_dir / f"sequence_{i:02d}_psnr={psnr_v:.2f}_lpips={lpips_v:.3f}"
-
-            gt = np.asarray(videos[0])
-            preds = np.asarray(pred_imgs[0])
-            viz.visualize_qualitative_eval(
-                gt[:c], gt[c : c + p], preds, savepath=seq_dir / "qualitative.png"
-            )
-            full = np.concatenate([gt[:c], preds], axis=0)
-            viz.make_gif(full, seq_dir / "prediction.gif", n_seed=c)
-            viz.make_gif(gt[: c + p], seq_dir / "ground_truth.gif", n_seed=c)
-            self._object_figs(seq_dir, preds, pred_slots)
-            caption = others.get("caption", [""])[0]
             seq_dir.mkdir(parents=True, exist_ok=True)
+
+            gt = np.clip(np.asarray(videos[0]), 0, 1)
+            preds = np.clip(np.asarray(pred_imgs[0]), 0, 1)
+
+            # qualitative panel (reference qual_eval_rgb.png)
+            viz.visualize_qualitative_eval(
+                gt[:c], gt[c : c + p], preds, savepath=seq_dir / "qual_eval_rgb.png"
+            )
+
+            # per-object decompositions of seed + predicted frames
+            seed_dec = self.decode_seed(batch, rng)
+            pred_dec = self.decode_full(pred_slots)
+            seed_objs, seed_masks, seed_frames = self._objs_masks(
+                gt[:c],
+                seed_dec["recons_objs"][0] if "recons_objs" in seed_dec else None,
+                seed_dec["masks"][0] if "masks" in seed_dec else None,
+            )
+            pred_objs, pred_masks, pred_frames = self._objs_masks(
+                preds, pred_dec.get("recons"), pred_dec.get("masks"))
+
+            if seed_objs is not None and pred_objs is not None:
+                # aligned slots: green seed / red pred borders per object
+                # (reference 06_generate_figs_predictor.py:181-187)
+                all_objs = np.concatenate([
+                    viz.add_border(seed_objs, viz.GREEN, pad=2),
+                    viz.add_border(pred_objs, viz.RED, pad=2),
+                ], axis=0)  # (c+p, S, h, w, C)
+                viz.visualize_aligned_slots(all_objs,
+                                            savepath=seq_dir / "aligned_slots.png")
+
+                # segmentation GIFs (masks -> categorical -> RGB; overlay)
+                all_masks = np.concatenate([seed_masks, pred_masks], axis=0)
+                cat = np.argmax(all_masks, axis=1)  # (c+p, h, w)
+                masks_vis = viz.COLORS[cat % len(viz.COLORS)]
+                onehot = viz.idx_to_one_hot(cat, num_classes=all_masks.shape[1])
+                frames_overlay = np.concatenate([seed_frames, pred_frames], axis=0)
+                overlay = np.stack([
+                    viz.overlay_segmentations(frames_overlay[t], onehot[t])
+                    for t in range(c + p)
+                ])
+                viz.make_gif(masks_vis, seq_dir / "masks_GIF_masks.gif", n_seed=c)
+                viz.make_gif(overlay, seq_dir / "overlay_GIF.gif", n_seed=c)
+
+                # per-object GIFs (reference :243-252)
+                for obj_id in range(all_objs.shape[1]):
+                    viz.make_gif(all_objs[:, obj_id],
+                                 seq_dir / f"gt_obj_{obj_id + 1}.gif",
+                                 n_seed=c, use_border=False)
+
+            # sequence GIFs (reference :221-239: GT all-green, pred seed/pred)
+            viz.make_gif(gt[: c + p], seq_dir / "gt_GIF_frames.gif",
+                         n_seed=c + p)
+            viz.make_gif(np.concatenate([gt[:c], preds], axis=0),
+                         seq_dir / "pred_GIF_frames.gif", n_seed=c)
+
+            caption = others.get("caption", [""])[0]
             with open(seq_dir / "prompt.txt", "w") as f:
                 f.write(str(caption) + "\n")
             print_(f"Saved prediction figures for sequence {i} -> {seq_dir}")
         return out_dir
-
-    def _object_figs(self, seq_dir, pred_frames, pred_slots):
-        """Per-object decompositions + segmentation overlays of the predicted
-        frames (reference 06_generate_figs_predictor.py:147-261)."""
-        dec = self.decode_full(pred_slots)
-        p = self.num_preds
-        masks = dec.get("masks")
-        if masks is None:
-            return
-        masks = np.asarray(masks)
-        if masks.ndim == 5 and masks.shape[-1] == 1:  # SAVi: (P, S, H, W, 1)
-            recons = np.asarray(dec["recons"])  # (P, S, H, W, C)
-            objs = recons * masks
-            viz.visualize_decomp(objs[: min(8, p)], savepath=seq_dir / "pred_objects.png")
-            overlays = np.stack([
-                viz.overlay_segmentations(pred_frames[t], masks[t])
-                for t in range(min(8, p))
-            ])
-            viz.visualize_sequence(overlays, savepath=seq_dir / "pred_segmentation.png")
-        elif masks.ndim == 5:  # DINOSAUR: (P, S, 1, gh, gw)
-            objs = viz.process_objs_masks_dinosaur(pred_frames, masks, out_size=96)
-            viz.visualize_decomp(objs[: min(8, p)], savepath=seq_dir / "pred_objects.png")

@@ -99,12 +99,13 @@ def visualize_decomp(objs, savepath=None, vmin: float = 0, vmax: float = 1):
 
 
 def add_border(img: np.ndarray, color, pad: int = 2) -> np.ndarray:
-    """Colored border around (H, W, C) (reference visualizations.py:247-274)."""
-    h, w, c = img.shape
-    out = np.ones((h + 2 * pad, w + 2 * pad, c), dtype=img.dtype)
-    color = np.asarray(color, dtype=img.dtype)
-    out[...] = color
-    out[pad : pad + h, pad : pad + w] = img
+    """Colored border around (..., H, W, C) — leading dims are batched
+    (reference visualizations.py:247-274)."""
+    img = np.asarray(img)
+    *lead, h, w, c = img.shape
+    out = np.empty((*lead, h + 2 * pad, w + 2 * pad, c), dtype=img.dtype)
+    out[...] = np.asarray(color, dtype=img.dtype)
+    out[..., pad : pad + h, pad : pad + w, :] = img
     return out
 
 
@@ -158,43 +159,70 @@ def overlay_segmentations(img: np.ndarray, masks: np.ndarray, alpha: float = 0.6
     return np.clip((1 - alpha) * img + alpha * seg_rgb, 0, 1)
 
 
-def make_gif(frames, savepath, n_seed: int = 0, upscale: int = 2, fps: int = 4):
+def make_gif(frames, savepath, n_seed: int = 0, upscale: int = 2, fps: int = 4,
+             use_border: bool = True):
     """Save (T, H, W, C) frames as a GIF with 2x upscaling and green
-    seed / red prediction borders (reference visualizations.py:314-329)."""
+    seed / red prediction borders (reference visualizations.py:314-329);
+    ``use_border=False`` for per-object GIFs (reference
+    06_generate_figs_predictor.py:243-252)."""
     import imageio
 
     frames = np.clip(_to_numpy(frames), 0, 1)
     out = []
     for i, frame in enumerate(frames):
         frame = np.repeat(np.repeat(frame, upscale, axis=0), upscale, axis=1)
-        frame = add_border(frame, GREEN if i < n_seed else RED, pad=2 * upscale)
+        if use_border:
+            frame = add_border(frame, GREEN if i < n_seed else RED, pad=2 * upscale)
         out.append((frame * 255).astype(np.uint8))
     Path(savepath).parent.mkdir(parents=True, exist_ok=True)
     imageio.mimsave(savepath, out, duration=1000 / fps, loop=0)
     return savepath
 
 
+def idx_to_one_hot(x: np.ndarray, num_classes: Optional[int] = None) -> np.ndarray:
+    """Categorical mask indices (..., H, W) -> one-hot masks with a leading
+    class axis per element: (..., S, H, W) (reference visualizations.py:355-368)."""
+    x = np.asarray(x)
+    s = int(num_classes if num_classes is not None else x.max() + 1)
+    eye = np.eye(s, dtype=np.float32)
+    onehot = eye[x.reshape(-1)].reshape(x.shape + (s,))
+    return np.moveaxis(onehot, -1, -3)  # (..., S, H, W)
+
+
 def visualize_aligned_slots(recons_objs, savepath=None, vmin: float = 0, vmax: float = 1):
-    """Per-slot reconstructions (S, H, W, C) in one row, slot index as title
-    (reference visualizations.py:278-310)."""
+    """Aligned per-slot reconstructions (reference visualizations.py:278-310).
+
+    Accepts (S, H, W, C) — one row of slots — or (T, S, H, W, C) — a
+    slots-x-time grid with the slot index labeling each row (the aligned-slots
+    figure of 06_generate_figs_predictor.py:181-187).
+    """
     import matplotlib.pyplot as plt
 
     objs = np.clip(_to_numpy(recons_objs), vmin, vmax)
-    s = objs.shape[0]
-    fig, axes = plt.subplots(1, s, figsize=(2 * s, 2.2), squeeze=False)
+    if objs.ndim == 4:  # (S, H, W, C) -> single-timestep grid
+        objs = objs[None]
+    t, s = objs.shape[:2]
+    fig, axes = plt.subplots(s, t, figsize=(1.5 * t, 1.5 * s), squeeze=False)
     for i in range(s):
-        axes[0][i].imshow(objs[i])
-        axes[0][i].set_title(f"Slot {i}", fontsize=8)
-        axes[0][i].axis("off")
+        for j in range(t):
+            axes[i][j].imshow(objs[j, i])
+            axes[i][j].axis("off")
+        axes[i][0].axis("on")
+        axes[i][0].set_ylabel(f"Slot {i}", fontsize=8)
+        axes[i][0].set_xticks([]); axes[i][0].set_yticks([])
     return _save_or_show(fig, savepath)
 
 
-def process_objs_masks_dinosaur(frames, masks, out_size: int = 96) -> np.ndarray:
+def process_objs_masks_dinosaur(frames, masks, out_size: int = 96,
+                                return_all: bool = False):
     """Crop per-object views for DINOSAUR-style models: upsample the patch-grid
     alpha masks to the frame resolution and mask the frames, resized to
     out_size (reference visualizations.py:432-451).
 
-    frames: (T, H, W, C); masks: (T, S, 1, gh, gw). Returns (T, S, out, out, C).
+    frames: (T, H, W, C); masks: (T, S, 1, gh, gw). Returns (T, S, out, out, C),
+    or ``(objs, masks_up, frames_tiny)`` with masks_up (T, S, out, out) and
+    frames_tiny (T, out, out, C) when ``return_all`` (the reference returns all
+    three for the segmentation GIFs, 06_generate_figs_predictor.py:160-171).
     """
     from PIL import Image
 
@@ -202,17 +230,23 @@ def process_objs_masks_dinosaur(frames, masks, out_size: int = 96) -> np.ndarray
     masks = _to_numpy(masks)
     t, s = masks.shape[:2]
     c = frames.shape[-1]
-    out = np.zeros((t, s, out_size, out_size, c), dtype=np.float32)
+    objs = np.zeros((t, s, out_size, out_size, c), dtype=np.float32)
+    masks_up = np.zeros((t, s, out_size, out_size), dtype=np.float32)
+    frames_tiny = np.zeros((t, out_size, out_size, c), dtype=np.float32)
     for ti in range(t):
         frame = Image.fromarray((np.clip(frames[ti], 0, 1) * 255).astype(np.uint8))
         frame = np.asarray(frame.resize((out_size, out_size), Image.BILINEAR),
                            dtype=np.float32) / 255.0
+        frames_tiny[ti] = frame
         for si in range(s):
             m = Image.fromarray((np.clip(masks[ti, si, 0], 0, 1) * 255).astype(np.uint8))
             m = np.asarray(m.resize((out_size, out_size), Image.BILINEAR),
                            dtype=np.float32) / 255.0
-            out[ti, si] = frame * m[..., None]
-    return out
+            masks_up[ti, si] = m
+            objs[ti, si] = frame * m[..., None]
+    if return_all:
+        return objs, masks_up, frames_tiny
+    return objs
 
 
 def visualize_metric(values: Sequence[float], savepath=None, title: str = "",
