@@ -25,19 +25,23 @@ from textocvp_tpu.data.vocabularies import (
 )
 
 
+def _target_hw(h: int, w: int, size) -> tuple[int, int]:
+    """Resize target: an int resizes the SHORTER side (torchvision
+    transforms.Resize semantics); a tuple is exact."""
+    if isinstance(size, int):
+        if h <= w:
+            return size, max(1, round(w * size / h))
+        return max(1, round(h * size / w)), size
+    return tuple(size)
+
+
 def _resize_frames(frames: np.ndarray, size) -> np.ndarray:
     """Bilinear resize of (T, H, W, C) float frames to the target size. An int
     target resizes the shorter side (torchvision semantics); a tuple is exact."""
     from PIL import Image
 
     t, h, w, c = frames.shape
-    if isinstance(size, int):
-        if h <= w:
-            new_h, new_w = size, max(1, round(w * size / h))
-        else:
-            new_h, new_w = max(1, round(h * size / w)), size
-    else:
-        new_h, new_w = size
+    new_h, new_w = _target_hw(h, w, size)
     if (new_h, new_w) == (h, w):
         return frames.astype(np.float32)
     out = np.empty((t, new_h, new_w, c), dtype=np.float32)
@@ -45,6 +49,23 @@ def _resize_frames(frames: np.ndarray, size) -> np.ndarray:
         img = Image.fromarray((np.clip(frames[i], 0, 1) * 255).astype(np.uint8))
         out[i] = np.asarray(img.resize((new_w, new_h), Image.BILINEAR), dtype=np.float32) / 255.0
     return out
+
+
+def _load_image_resized(path: str, size) -> np.ndarray:
+    """Decode one image and resize it INSIDE PIL's uint8 domain, converting to
+    float32 [0,1] only at the final (small) resolution. This is the throughput
+    path: full-res float round-trips cost ~10x (see bench_loader.py)."""
+    from PIL import Image
+
+    with open(path, "rb") as f:
+        img = Image.open(f).convert("RGB")
+        if size is not None:
+            new_h, new_w = _target_hw(img.height, img.width, size)
+            if (new_h, new_w) != (img.height, img.width):
+                img = img.resize((new_w, new_h), Image.BILINEAR)
+        arr = np.asarray(img, dtype=np.float32)
+    arr /= 255.0
+    return arr
 
 
 def _video_length(path: str) -> int:
@@ -62,7 +83,7 @@ def _video_length(path: str) -> int:
     return int(imageio.get_reader(path).count_frames())
 
 
-def _read_video(path: str, indices: np.ndarray) -> np.ndarray:
+def _read_video(path: str, indices: np.ndarray, size=None) -> np.ndarray:
     """
     Decode selected frames as float32 [0,1] (T, H, W, C). Supports:
     * mp4/avi via imageio (requires an ffmpeg backend)
@@ -70,20 +91,18 @@ def _read_video(path: str, indices: np.ndarray) -> np.ndarray:
     * a directory of per-frame images (sorted lexicographically)
     The non-mp4 formats keep CATER usable in environments without ffmpeg
     (re-export the videos once with any tool).
+
+    ``size`` resizes during decode (uint8 domain, per frame) — the throughput
+    path for directory-of-images videos; other formats resize after decode.
     """
     indices = np.asarray(indices, dtype=np.int64)
     if os.path.isdir(path):
-        from PIL import Image
-
         files = sorted(
             f for f in os.listdir(path)
             if f.lower().endswith((".png", ".jpg", ".jpeg"))
         )
-        frames = []
-        for i in indices:
-            with open(os.path.join(path, files[int(i)]), "rb") as f:
-                img = Image.open(f).convert("RGB")
-            frames.append(np.asarray(img, dtype=np.float32) / 255.0)
+        frames = [_load_image_resized(os.path.join(path, files[int(i)]), size)
+                  for i in indices]
         return np.stack(frames, axis=0)
     if path.endswith((".npy", ".npz")):
         arr = np.load(path)
@@ -155,8 +174,9 @@ class CATER:
         else:
             start = 1
         indices = np.arange(start, start + self.num_frames)
-        frames = _read_video(video_path, indices)
-        frames = _resize_frames(frames, self.img_size)
+        frames = _read_video(video_path, indices, size=self.img_size)
+        if frames.shape[1:3] != tuple(self.img_size):
+            frames = _resize_frames(frames, self.img_size)
         return frames, caption
 
     @property
@@ -199,8 +219,6 @@ class CLIPort:
         return len(self.episodes)
 
     def __getitem__(self, idx: int):
-        from PIL import Image
-
         episode = self.episodes[idx]
         color_dir = os.path.join(self.root, episode, "color")
         frame_files = sorted(os.listdir(color_dir))
@@ -211,14 +229,15 @@ class CLIPort:
             start = int(self._rng.integers(0, max(n - self.num_frames, 0) + 1))
         else:
             start = 0
-        frames = []
-        for i in range(start, start + self.num_frames):
-            frame_num = frame_files[i].split("_")[0]
-            with open(os.path.join(color_dir, f"{frame_num}_color.png"), "rb") as f:
-                img = Image.open(f).convert("RGB")
-            frames.append(np.asarray(img, dtype=np.float32) / 255.0)
-        frames = _resize_frames(np.stack(frames), self.img_size)
-        return frames, self.labels[idx]
+        frames = [
+            _load_image_resized(
+                os.path.join(color_dir,
+                             f"{frame_files[i].split('_')[0]}_color.png"),
+                self.img_size,
+            )
+            for i in range(start, start + self.num_frames)
+        ]
+        return np.stack(frames), self.labels[idx]
 
     @property
     def vocabulary(self) -> dict:

@@ -75,7 +75,9 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int = 8, shuffle: bool = False,
                  num_workers: Optional[int] = None, prefetch: int = 2,
                  drop_last: bool = False, seed: int = 14,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 worker_type: str = "thread"):
+        assert worker_type in ("thread", "process")
         assert 0 <= process_index < process_count
         if process_count > 1 and batch_size % process_count:
             raise ValueError(
@@ -91,6 +93,10 @@ class DataLoader:
         self._seed = seed
         self.process_index = process_index
         self.process_count = process_count
+        # "process" sidesteps the GIL for decode-heavy datasets (requires a
+        # picklable dataset); "thread" suffices when PIL/imageio release the
+        # GIL during decode. bench_loader.py measures both.
+        self.worker_type = worker_type
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -139,10 +145,19 @@ class DataLoader:
 
         def producer():
             try:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                    for idxs in batches:
-                        items = list(pool.map(lambda i: self.dataset[int(i)], idxs))
-                        q.put(self._collate(items))
+                if self.worker_type == "process":
+                    from concurrent.futures import ProcessPoolExecutor
+
+                    with ProcessPoolExecutor(max_workers=self.num_workers) as pool:
+                        for idxs in batches:
+                            items = list(pool.map(_fetch_item,
+                                                  [(self.dataset, int(i)) for i in idxs]))
+                            q.put(self._collate(items))
+                else:
+                    with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                        for idxs in batches:
+                            items = list(pool.map(lambda i: self.dataset[int(i)], idxs))
+                            q.put(self._collate(items))
             except BaseException as e:  # surface worker errors to the consumer
                 q.put(e)
             finally:
@@ -158,6 +173,12 @@ class DataLoader:
                 raise item
             yield item
         thread.join()
+
+
+def _fetch_item(args):
+    """Module-level fetcher so ProcessPoolExecutor can pickle the call."""
+    dataset, idx = args
+    return dataset[idx]
 
 
 def unwrap_batch(batch) -> tuple[np.ndarray, dict]:
