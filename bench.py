@@ -158,6 +158,11 @@ def main():
         "value": round(fps_per_chip, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps_per_chip / REF_GPU_FPS, 3),
+        # REF_GPU_FPS is an engineering estimate (the reference publishes no
+        # numbers; no GPU here). Grounding: on identical CPU silicon with
+        # identical weights, this implementation measures ~14x the reference's
+        # throughput (scripts/ground_baseline.py; BASELINE.md).
+        "baseline_estimated": True,
     }))
 
 
