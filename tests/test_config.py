@@ -55,3 +55,42 @@ def test_experiment_lifecycle(tmp_path):
     with open(pred_exp.results_dir("run_a") / "results.json") as f:
         res = json.load(f)
     assert "psnr" in res and "ssim" in res
+
+
+def test_log_function_traces_and_reraises(tmp_path):
+    """Method-call tracing (reference lib/logger.py:13-44): public entries are
+    logged, exceptions land in logs.txt and RE-RAISE (unlike the reference's
+    exit())."""
+    import pytest
+
+    from textocvp_tpu.core import logger as logmod
+    from textocvp_tpu.core.logger import Logger, for_all_methods, log_function
+
+    Logger(tmp_path)
+
+    @for_all_methods(log_function)
+    class Thing:
+        def ok(self):
+            return 42
+
+        def _quiet(self):
+            return 1
+
+        @staticmethod
+        def stat(x):
+            return x + 1
+
+        def boom(self):
+            raise ValueError("kaput")
+
+    t = Thing()
+    assert t.ok() == 42
+    assert t._quiet() == 1
+    assert Thing.stat(1) == 2 and t.stat(1) == 2  # staticmethod binding kept
+    with pytest.raises(ValueError):
+        t.boom()
+    log = (tmp_path / "logs.txt").read_text()
+    assert "Calling: ok..." in log
+    assert "Calling: _quiet" not in log  # private methods stay quiet
+    assert "kaput" in log  # exception trace captured
+    logmod._LOGGER = None  # don't leak the logger into other tests

@@ -1,13 +1,17 @@
 """
 Per-experiment logging: a lightweight tee logger writing ``logs.txt`` inside
-the experiment directory (reference lib/logger.py:64-156), without the global
-fail-fast exception trapping — errors propagate normally, and structured
-tracing is handled by ``jax.profiler`` instead.
+the experiment directory (reference lib/logger.py:64-156), plus the
+method-call tracing decorators (``log_function`` / ``for_all_methods``,
+reference lib/logger.py:13-44). One deliberate difference: the reference
+traps exceptions and ``exit()``s — here exceptions are logged to the
+experiment log and then RE-RAISED, so callers (and the emergency-save path)
+see them normally.
 """
 
 from __future__ import annotations
 
 import datetime
+import functools
 import os
 import sys
 import traceback
@@ -52,3 +56,43 @@ def print_(message: str, typ: str = "info") -> None:
 def log_info(message: str) -> None:
     if _LOGGER is not None:
         _LOGGER.log(message, "info")
+
+
+def log_function(func):
+    """Method-call tracing (reference lib/logger.py:13-32): logs
+    ``Calling: <name>...`` on entry (public methods only — private helpers can
+    run per-iteration) and logs any exception into the experiment log before
+    re-raising it."""
+
+    @functools.wraps(func)
+    def traced(*args, **kwargs):
+        if _LOGGER is not None and not func.__name__.startswith("_"):
+            _LOGGER.log(f"Calling: {func.__name__}...")
+        try:
+            return func(*args, **kwargs)
+        except Exception as e:
+            if _LOGGER is not None:
+                _LOGGER.log_exception(e)
+            raise
+
+    return traced
+
+
+def for_all_methods(decorator):
+    """Class decorator applying ``decorator`` to every method
+    (reference lib/logger.py:35-44). static/class methods are re-wrapped to
+    preserve their binding behavior."""
+
+    def decorate(cls):
+        for attr, val in list(cls.__dict__.items()):
+            if attr.startswith("__"):
+                continue
+            if isinstance(val, staticmethod):
+                setattr(cls, attr, staticmethod(decorator(val.__func__)))
+            elif isinstance(val, classmethod):
+                setattr(cls, attr, classmethod(decorator(val.__func__)))
+            elif callable(val):
+                setattr(cls, attr, decorator(val))
+        return cls
+
+    return decorate

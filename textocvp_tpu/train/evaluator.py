@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from textocvp_tpu.core.experiment import Experiment
-from textocvp_tpu.core.logger import Logger, print_
+from textocvp_tpu.core.logger import Logger, for_all_methods, log_function, print_
 from textocvp_tpu.data import DataLoader, load_data
 from textocvp_tpu.models import setup_model, setup_predictor
 from textocvp_tpu.parallel.distributed import (
@@ -83,6 +83,7 @@ def _progress(iterable, total=None, desc=""):
         return iterable
 
 
+@for_all_methods(log_function)
 class DecompEvaluator:
     """Evaluate a decomposition checkpoint on full-sequence reconstruction."""
 
@@ -169,6 +170,7 @@ def _save_framewise_plots(exp, results_name: str, results: dict, start_x: int = 
             )
 
 
+@for_all_methods(log_function)
 class PredictorEvaluator:
     """Evaluate a predictor checkpoint on the video-prediction protocol."""
 

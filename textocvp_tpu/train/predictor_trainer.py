@@ -22,7 +22,7 @@ import numpy as np
 import optax
 
 from textocvp_tpu.core.experiment import Experiment
-from textocvp_tpu.core.logger import Logger, print_
+from textocvp_tpu.core.logger import Logger, for_all_methods, log_function, print_
 from textocvp_tpu.data import DataLoader, load_data
 from textocvp_tpu.models import setup_model, setup_predictor
 from textocvp_tpu.parallel.distributed import (
@@ -56,6 +56,7 @@ def _proc_kwargs() -> dict:
     return {}
 
 
+@for_all_methods(log_function)
 class PredictorTrainer:
     """Trainer for slot predictors with a frozen stage-1 model."""
 

@@ -29,7 +29,7 @@ import numpy as np
 import optax
 
 from textocvp_tpu.core.experiment import Experiment
-from textocvp_tpu.core.logger import Logger, print_
+from textocvp_tpu.core.logger import Logger, for_all_methods, log_function, print_
 from textocvp_tpu.data import DataLoader, load_data
 from textocvp_tpu.models import setup_model
 from textocvp_tpu.parallel.distributed import (
@@ -71,6 +71,7 @@ def _proc_kwargs() -> dict:
                 "process_count": jax.process_count()}
     return {}
 
+@for_all_methods(log_function)
 class DecompTrainer:
     """Trainer for SAVi / ExtendedDINOSAUR decomposition models."""
 
