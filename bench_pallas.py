@@ -65,7 +65,10 @@ def build_dinosaur(impl: str, batch: int, frames: int, dtype_name: str):
 
 
 def build_isolated(impl: str, n_programs: int, n: int, d: int, s: int,
-                   num_iters: int, dtype_name: str):
+                   num_iters: int, dtype_name: str, repeat: int = 32):
+    """One jitted program chaining ``repeat`` sequential refinement calls
+    (slots fed back, data-dependent) — amortizes the ~30 ms per-dispatch RTT
+    of the remote-attached chip so the per-call time is real compute."""
     import jax
     import jax.numpy as jnp
 
@@ -85,8 +88,14 @@ def build_isolated(impl: str, n_programs: int, n: int, d: int, s: int,
 
     @jax.jit
     def step(params, k, v, slots):
-        out, _ = sa.apply(params, k, v, slots, num_iters,
-                          method=SlotAttention.iterate)
+        def body(slots, _):
+            out, _attn = sa.apply(params, k, v, slots, num_iters,
+                                  method=SlotAttention.iterate)
+            # renormalize so the chained values stay bounded
+            out = out / (1.0 + jnp.mean(jnp.abs(out), keepdims=True))
+            return out.astype(dtype), None
+
+        out, _ = jax.lax.scan(body, slots, None, length=repeat)
         return jnp.sum(out.astype(jnp.float32))
 
     return step, (params, k, v, slots)
@@ -108,19 +117,21 @@ def main(argv=None):
 
     results = {}
 
-    # ---- isolated refinement loop (B*T programs of the pure iteration)
+    # ---- isolated refinement loop (B*T programs, `repeat` chained calls)
+    repeat = 32
     for impl in ("xla", "pallas"):
         step, a = build_isolated(impl, n_programs=args.batch * args.frames,
                                  n=576, d=128, s=10, num_iters=3,
-                                 dtype_name=args.dtype)
+                                 dtype_name=args.dtype, repeat=repeat)
         t0 = time.perf_counter()
         float(step(*a))
         print(f"isolated/{impl}: compile {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
         _queue_time(step, a, 2)  # warmup
-        results[f"isolated_{impl}_ms"] = 1000 * _queue_time(step, a, args.iters)
-        print(f"isolated/{impl}: {results[f'isolated_{impl}_ms']:.2f} ms",
-              file=sys.stderr)
+        per_program = _queue_time(step, a, args.iters)
+        results[f"isolated_{impl}_ms"] = 1000 * per_program / repeat
+        print(f"isolated/{impl}: {results[f'isolated_{impl}_ms']:.3f} ms/call "
+              f"({repeat} chained calls/program)", file=sys.stderr)
     results["isolated_speedup"] = round(
         results["isolated_xla_ms"] / results["isolated_pallas_ms"], 3)
 

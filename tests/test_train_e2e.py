@@ -114,6 +114,7 @@ def test_decomp_fig_generation(trained_exp):
     assert (seq_dirs[0] / "recons.png").exists()
     assert (seq_dirs[0] / "recons.gif").exists()
     assert (seq_dirs[0] / "objects.png").exists()
+    assert (seq_dirs[0] / "masks.png").exists()
     assert (seq_dirs[0] / "segmentation.png").exists()
 
 

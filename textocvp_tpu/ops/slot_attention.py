@@ -73,7 +73,9 @@ class SlotAttention(nn.Module):
         attn is the last iteration's (B, num_slots, num_locations) attention
         (pre-renormalization), used as the object segmentation masks.
         """
-        if self.impl == "pallas":
+        # during init the params don't exist yet — trace the XLA path so the
+        # module self-initializes regardless of impl
+        if self.impl == "pallas" and not self.is_initializing():
             from textocvp_tpu.ops.pallas.slot_attention_kernel import slot_attention_iterations
 
             return slot_attention_iterations(

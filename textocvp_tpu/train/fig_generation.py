@@ -53,13 +53,26 @@ class DecompFigGenerator(DecompEvaluator):
                 recons = np.clip(np.asarray(out["recons_imgs"][0]), 0, 1)
                 viz.visualize_recons(gt, recons, savepath=seq_dir / "recons.png")
                 viz.make_gif(recons, seq_dir / "recons.gif", n_seed=len(recons))
-            if "recons_objs" in out:
-                objs = np.asarray(out["recons_objs"][0]) * np.asarray(out["masks"][0])
+            masks = np.asarray(out["masks"][0]) if "masks" in out else None
+            if masks is not None and masks.shape[-1] == 1:  # SAVi (T, S, H, W, 1)
+                objs = np.clip(np.asarray(out["recons_objs"][0]) * masks, 0, 1)
                 viz.visualize_decomp(objs, savepath=seq_dir / "objects.png")
-            masks = np.asarray(out.get("masks", None)[0]) if "masks" in out else None
-            if masks is not None and masks.ndim == 5:  # (T, S, H, W, 1)
+                viz.visualize_decomp(masks, savepath=seq_dir / "masks.png")
                 overlays = np.stack([
                     viz.overlay_segmentations(gt[t], masks[t]) for t in range(gt.shape[0])
+                ])
+                viz.visualize_sequence(overlays, savepath=seq_dir / "segmentation.png")
+            elif masks is not None:  # DINOSAUR (T, S, 1, gh, gw) patch alphas
+                objs, masks_up, frames_tiny = viz.process_objs_masks_dinosaur(
+                    gt, masks, out_size=96, return_all=True)
+                viz.visualize_decomp(objs, savepath=seq_dir / "objects.png")
+                viz.visualize_decomp(masks_up[..., None],
+                                     savepath=seq_dir / "masks.png")
+                onehot = viz.idx_to_one_hot(np.argmax(masks_up, axis=1),
+                                            num_classes=masks_up.shape[1])
+                overlays = np.stack([
+                    viz.overlay_segmentations(frames_tiny[t], onehot[t])
+                    for t in range(gt.shape[0])
                 ])
                 viz.visualize_sequence(overlays, savepath=seq_dir / "segmentation.png")
             print_(f"Saved figures for sequence {i} -> {seq_dir}")
