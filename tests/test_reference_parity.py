@@ -389,3 +389,48 @@ def test_full_eval_chain_matches_reference(ref, rng):
     frames = np.asarray(dec_j["recons_imgs"]).reshape(b, 3, hw, hw, 3)
     np.testing.assert_allclose(frames.transpose(0, 1, 4, 2, 3), ref_frames,
                                rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------------------- CLI import
+def test_import_cli_round_trips_reference_pth(ref, rng, tmp_path, monkeypatch):
+    """File-level loop: a reference-format .pth (model_state_dict blob, like
+    reference setup_model.py:178-184 writes) imported through the
+    import_torch_checkpoint CLI yields a msgpack checkpoint whose restored
+    params reproduce the torch model's outputs."""
+    monkeypatch.setenv("TEXTOCVP_EXPERIMENTS", str(tmp_path))
+    exp_params = _tiny_savi_exp()
+    torch_model = _torch_savi(ref, exp_params)
+
+    from textocvp_tpu.core.experiment import Experiment
+
+    exp = Experiment.create(tmp_path / "imp", "SAVi", "CATER_Easy")
+    params = exp.params
+    params["model"] = exp_params["model"]
+    exp.save_params(params)
+
+    pth = tmp_path / "SAVi_ref.pth"
+    torch.save({"model_state_dict": torch_model.state_dict(), "epoch": 123}, pth)
+
+    from textocvp_tpu.cli.import_torch_checkpoint import main as import_main
+
+    out_path = import_main(["-d", str(tmp_path / "imp"), "--torch_ckpt", str(pth),
+                            "--kind", "decomp"])
+    assert str(out_path).endswith("SAVi_ref.msgpack")
+
+    from textocvp_tpu.models import setup_model
+    from textocvp_tpu.train.checkpoints import load_checkpoint
+
+    restored = load_checkpoint(out_path)
+    exp_params.setdefault("tpu", {})["fast_decode"] = False
+    model = setup_model(exp_params)
+
+    videos = rng.uniform(0, 1, size=(1, 3, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = torch_model(mode="decomp", x=torch.from_numpy(videos), num_imgs=3)
+    out = model.apply({"params": jax.tree_util.tree_map(jnp.asarray,
+                                                        restored["params"])},
+                      jnp.asarray(videos.transpose(0, 1, 3, 4, 2)),
+                      rngs={"slots": jax.random.PRNGKey(0)})
+    np.testing.assert_allclose(np.asarray(out["slot_history"]),
+                               ref_out["slot_history"].numpy(),
+                               rtol=1e-4, atol=1e-4)
