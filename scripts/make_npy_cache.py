@@ -36,7 +36,10 @@ def main(argv=None):
     ap.add_argument("--out", default=None,
                     help="output root (default: <root>_npy<img-size>)")
     ap.add_argument("--num-frames", type=int, default=None,
-                    help="cache only the first N frames (default: all)")
+                    help="cache enough frames for clips of length N (default: "
+                         "all). N+1 frames are stored: CATER's fixed start is "
+                         "frame 1 (reference Cater.py:137-141), so clips read "
+                         "indices [1, N].")
     args = ap.parse_args(argv)
 
     from textocvp_tpu.data.datasets import _read_video, _resize_frames, _video_length
@@ -52,7 +55,9 @@ def main(argv=None):
     new_ann = {}
     for key, ann in annotations.items():
         video_path = os.path.join(src_dir, ann["video"])
-        n = args.num_frames or _video_length(video_path)
+        # +1: fixed-start clips read indices [1, num_frames]
+        n = (args.num_frames + 1) if args.num_frames else _video_length(video_path)
+        n = min(n, _video_length(video_path))
         frames = _read_video(video_path, np.arange(n),
                              size=(args.img_size, args.img_size))
         if frames.shape[1:3] != (args.img_size, args.img_size):

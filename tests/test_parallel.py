@@ -191,6 +191,56 @@ def test_loader_process_sharding_partitions_batches():
         np.testing.assert_array_equal(reassembled, g)
 
 
+def test_loader_process_sharding_ragged_batches_stay_in_lockstep():
+    """Ragged final global batch (n % batch_size != 0): all processes must
+    still emit the SAME number of equally-sized batches — the loader pads
+    the global batch at its tail (repeating the last row) to pad_to_multiple
+    and reports num_valid, so no process launches a collective the others
+    skip and callers can drop the padding rows."""
+    from textocvp_tpu.data.loader import DataLoader
+
+    class Ds:
+        def __len__(self):
+            return 20  # 8 + 8 + ragged 4
+
+        def __getitem__(self, i):
+            return np.full((2, 4, 4, 3), i, np.float32), f"cap{i}"
+
+    shards = [DataLoader(Ds(), batch_size=8, shuffle=False, num_workers=0,
+                         process_index=i, process_count=2, pad_to_multiple=8)
+              for i in range(2)]
+    outs = [list(s) for s in shards]
+    assert len(outs[0]) == len(outs[1]) == 3
+    for (v0, i0), (v1, i1) in zip(outs[0], outs[1]):
+        assert v0.shape == v1.shape  # equal local shard sizes every batch
+        assert i0["num_valid"] == i1["num_valid"]
+    # ragged batch: 4 valid rows, padded to 8 by repeating row id 19;
+    # padding sits at the GLOBAL tail (= tail of the last process's slice)
+    last = np.concatenate([outs[0][2][0], outs[1][2][0]], axis=0)
+    assert outs[0][2][1]["num_valid"] == 4
+    np.testing.assert_array_equal(last[:, 0, 0, 0, 0], [16, 17, 18, 19, 19, 19, 19, 19])
+
+
+def test_maybe_initialize_distributed_idempotent(monkeypatch):
+    """Calling the env-gated init twice (train-then-eval in one process) must
+    not call jax.distributed.initialize twice."""
+    from textocvp_tpu.parallel import distributed
+
+    calls = []
+    monkeypatch.setattr(distributed, "_DISTRIBUTED_INITIALIZED", False)
+    monkeypatch.setenv("TEXTOCVP_COORDINATOR", "localhost:0")
+
+    import jax
+
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw), raising=False)
+    monkeypatch.setattr(jax.distributed, "is_initialized",
+                        lambda: False, raising=False)
+    assert distributed.maybe_initialize_distributed() is True
+    assert distributed.maybe_initialize_distributed() is True
+    assert len(calls) == 1
+
+
 def test_runtime_mesh_single_process_is_ici_mesh():
     from textocvp_tpu.parallel.distributed import get_runtime_mesh
 

@@ -69,13 +69,19 @@ class DataLoader:
     1/process_count slice of every global batch (contiguous rows, same
     shuffle order on every host thanks to the shared seed), matching the
     ('dcn', 'data') global-batch sharding assembled by
-    ``parallel.mesh.shard_batch``. ``batch_size`` stays the GLOBAL batch size.
+    ``parallel.mesh.shard_batch``. ``batch_size`` stays the GLOBAL batch
+    size. Ragged final batches are padded GLOBALLY (repeating the last row)
+    up to ``pad_to_multiple`` — every process then emits the same number of
+    equally-sized batches, so no process launches a collective the others
+    skip; the batch info carries ``num_valid`` (the unpadded global row
+    count) for callers to slice per-sample outputs.
     """
 
     def __init__(self, dataset, batch_size: int = 8, shuffle: bool = False,
                  num_workers: Optional[int] = None, prefetch: int = 2,
                  drop_last: bool = False, seed: int = 14,
                  process_index: int = 0, process_count: int = 1,
+                 pad_to_multiple: Optional[int] = None,
                  worker_type: str = "thread"):
         assert worker_type in ("thread", "process")
         assert 0 <= process_index < process_count
@@ -83,6 +89,12 @@ class DataLoader:
             raise ValueError(
                 f"global batch_size {batch_size} must divide evenly over "
                 f"{process_count} processes")
+        if process_count > 1 and pad_to_multiple is None:
+            pad_to_multiple = process_count
+        if pad_to_multiple is not None and pad_to_multiple % process_count:
+            raise ValueError(
+                f"pad_to_multiple {pad_to_multiple} must be a multiple of "
+                f"process_count {process_count}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -93,6 +105,7 @@ class DataLoader:
         self._seed = seed
         self.process_index = process_index
         self.process_count = process_count
+        self.pad_to_multiple = pad_to_multiple
         # "process" sidesteps the GIL for decode-heavy datasets (requires a
         # picklable dataset); "thread" suffices when PIL/imageio release the
         # GIL during decode. bench_loader.py measures both.
@@ -104,7 +117,8 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def _batch_indices(self) -> list[np.ndarray]:
+    def _batch_indices(self) -> list[tuple[np.ndarray, int]]:
+        """Per-batch (this process's index slice, global valid-row count)."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -113,31 +127,41 @@ class DataLoader:
         batches = [order[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
-        if self.process_count > 1:
-            # contiguous per-process slice of each GLOBAL batch, matching the
-            # row order jax.make_array_from_process_local_data expects for a
-            # ('dcn', 'data')-sharded global array
-            per = self.batch_size // self.process_count
-            batches = [b[self.process_index * per : (self.process_index + 1) * per]
-                       for b in batches]
-            batches = [b for b in batches if len(b)]
-        return batches
+        out = []
+        for b in batches:
+            valid = len(b)
+            if self.pad_to_multiple is not None and valid % self.pad_to_multiple:
+                target = ((valid + self.pad_to_multiple - 1)
+                          // self.pad_to_multiple) * self.pad_to_multiple
+                b = np.concatenate([b, np.full(target - valid, b[-1])])
+            if self.process_count > 1:
+                # contiguous per-process slice of each (padded) GLOBAL batch,
+                # matching the row order
+                # jax.make_array_from_process_local_data expects for a
+                # ('dcn', 'data')-sharded global array. Padding is at the
+                # global tail, so [:num_valid] on the assembled array drops it.
+                per = len(b) // self.process_count
+                b = b[self.process_index * per : (self.process_index + 1) * per]
+            out.append((b, valid))
+        return out
 
-    def _collate(self, items):
+    def _collate(self, items, num_valid: int):
         videos = np.stack([it[0] for it in items], axis=0).astype(np.float32)
         captions = [it[1] for it in items]
         info = {"caption": captions}
         tokenizer = getattr(self.dataset, "tokenizer", None)
         if tokenizer is not None:
             info.update(tokenizer(captions))
+        if self.pad_to_multiple is not None:
+            info["num_valid"] = num_valid
         return videos, info
 
     def __iter__(self) -> Iterator:
         batches = self._batch_indices()
         self._epoch += 1
         if self.num_workers <= 0:
-            for idxs in batches:
-                yield self._collate([self.dataset[int(i)] for i in idxs])
+            for idxs, valid in batches:
+                yield self._collate([self.dataset[int(i)] for i in idxs], valid)
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -148,16 +172,21 @@ class DataLoader:
                 if self.worker_type == "process":
                     from concurrent.futures import ProcessPoolExecutor
 
-                    with ProcessPoolExecutor(max_workers=self.num_workers) as pool:
-                        for idxs in batches:
+                    # the dataset ships to each worker ONCE (initializer);
+                    # maps carry only indices
+                    with ProcessPoolExecutor(
+                        max_workers=self.num_workers,
+                        initializer=_init_worker, initargs=(self.dataset,),
+                    ) as pool:
+                        for idxs, valid in batches:
                             items = list(pool.map(_fetch_item,
-                                                  [(self.dataset, int(i)) for i in idxs]))
-                            q.put(self._collate(items))
+                                                  [int(i) for i in idxs]))
+                            q.put(self._collate(items, valid))
                 else:
                     with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                        for idxs in batches:
+                        for idxs, valid in batches:
                             items = list(pool.map(lambda i: self.dataset[int(i)], idxs))
-                            q.put(self._collate(items))
+                            q.put(self._collate(items, valid))
             except BaseException as e:  # surface worker errors to the consumer
                 q.put(e)
             finally:
@@ -175,10 +204,18 @@ class DataLoader:
         thread.join()
 
 
-def _fetch_item(args):
-    """Module-level fetcher so ProcessPoolExecutor can pickle the call."""
-    dataset, idx = args
-    return dataset[idx]
+_WORKER_DATASET = None
+
+
+def _init_worker(dataset):
+    """ProcessPoolExecutor initializer: install the dataset once per worker."""
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+
+
+def _fetch_item(idx: int):
+    """Module-level fetcher so ProcessPoolExecutor pickles only the index."""
+    return _WORKER_DATASET[idx]
 
 
 def unwrap_batch(batch) -> tuple[np.ndarray, dict]:

@@ -26,23 +26,35 @@ import os
 from typing import Optional
 
 
+_DISTRIBUTED_INITIALIZED = False
+
+
 def maybe_initialize_distributed() -> bool:
     """Initialize ``jax.distributed`` when the multi-process env is set.
-    Returns True iff distributed was (or already is) initialized. No-op —
-    and no jax import side effects beyond the query — for single-process runs.
+    Returns True iff distributed was (or already is) initialized. Idempotent:
+    trainers and evaluators all call this, and only the first call in a
+    process actually initializes. No-op for single-process runs.
     """
+    global _DISTRIBUTED_INITIALIZED
     coord = os.environ.get("TEXTOCVP_COORDINATOR") \
         or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not coord:
         return False
+    if _DISTRIBUTED_INITIALIZED:
+        return True
     import jax
 
+    already = getattr(jax.distributed, "is_initialized", None)
+    if already is not None and already():
+        _DISTRIBUTED_INITIALIZED = True
+        return True
     kwargs = {"coordinator_address": coord}
     nproc = os.environ.get("TEXTOCVP_NUM_PROCESSES")
     if nproc is not None:
         kwargs["num_processes"] = int(nproc)
         kwargs["process_id"] = int(os.environ.get("TEXTOCVP_PROCESS_ID", "0"))
     jax.distributed.initialize(**kwargs)
+    _DISTRIBUTED_INITIALIZED = True
     return True
 
 
@@ -65,6 +77,26 @@ def get_hybrid_mesh(data: int = -1, model: int = 1, dcn: Optional[int] = None,
         data = per_group // model
     assert data * model * n_dcn == n, f"mesh {n_dcn}x{data}x{model} != {n} devices"
     return Mesh(devices.reshape(n_dcn, data, model), ("dcn", "data", "model"))
+
+
+def loader_process_kwargs(mesh) -> dict:
+    """DataLoader kwargs for per-process input sharding. Multi-process runs
+    get (process_index, process_count) plus ``pad_to_multiple`` — the global
+    batch-sharding axis size — so every process emits the SAME number of
+    equally-sized batches (ragged global batches pad by repeating the last
+    row) and no process ever launches a collective the others skip.
+    Single-process runs get no kwargs (unchanged behavior)."""
+    import jax
+
+    if jax.process_count() <= 1:
+        return {}
+    from textocvp_tpu.parallel.mesh import _batch_axis_size
+
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "pad_to_multiple": _batch_axis_size(mesh),
+    }
 
 
 def get_runtime_mesh(tpu_params: Optional[dict] = None):

@@ -30,6 +30,7 @@ from textocvp_tpu.data import DataLoader, load_data
 from textocvp_tpu.models import setup_model, setup_predictor
 from textocvp_tpu.parallel.distributed import (
     get_runtime_mesh,
+    loader_process_kwargs,
     maybe_initialize_distributed,
 )
 from textocvp_tpu.parallel.mesh import (
@@ -51,16 +52,6 @@ def _text_kwargs(others: dict) -> dict:
             out[k] = jnp.asarray(v)
     return out
 
-
-def _proc_kwargs() -> dict:
-    """Per-process input sharding (multi-host): each process loads its own
-    slice of every global batch; single-process runs are unaffected."""
-    import jax
-
-    if jax.process_count() > 1:
-        return {"process_index": jax.process_index(),
-                "process_count": jax.process_count()}
-    return {}
 
 
 def _tokenizer_fallback_flags(dataset) -> dict:
@@ -106,7 +97,7 @@ class DecompEvaluator:
     def load_data(self):
         self.test_set = load_data(self.exp_params, split="test")
         self.test_loader = DataLoader(self.test_set, batch_size=self.batch_size, shuffle=False,
-                                      **_proc_kwargs())
+                                      **loader_process_kwargs(self.mesh))
 
     def load_model(self, sample_videos: np.ndarray):
         init_rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
@@ -122,24 +113,35 @@ class DecompEvaluator:
         model = self.model
         tracker = self.metric_tracker
 
+        rep = replicated_sharding(self.mesh)
+
         @jax.jit
         def eval_step(variables, videos, rng):
             out = model.apply(variables, videos, rngs={"slots": rng})
             recons = jnp.clip(out["recons_imgs"], 0, 1)
             targets = jnp.clip(videos, 0, 1)
-            return tracker.compute(recons, targets)
+            vals = tracker.compute(recons, targets)
+            # replicate the tiny (B, F) metrics so every process holds the
+            # full result (multi-host) and host slicing is addressable
+            return jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, rep), vals)
 
         self.eval_step = eval_step
 
     def evaluate(self) -> dict:
         step = 0
         pending = None  # accumulate batch i-1 while batch i computes
-        for videos, _ in _progress(self.test_loader, total=len(self.test_loader), desc="eval"):
+        for videos, others in _progress(self.test_loader, total=len(self.test_loader), desc="eval"):
             step += 1
             # pad ragged final batches to the data-axis multiple (stay sharded
-            # instead of replicating), then drop the padded rows from metrics
-            padded, b = pad_batch(np.asarray(videos), self.mesh)
-            batch = shard_batch(jnp.asarray(padded), self.mesh)
+            # instead of replicating), then drop the padded rows from metrics.
+            # Multi-host: the loader already padded GLOBALLY (num_valid set).
+            if "num_valid" in others:
+                b = int(others["num_valid"])
+                batch = shard_batch(np.asarray(videos), self.mesh)
+            else:
+                padded, b = pad_batch(np.asarray(videos), self.mesh)
+                batch = shard_batch(jnp.asarray(padded), self.mesh)
             rng = jax.random.fold_in(jax.random.PRNGKey(14), step)
             vals = self.eval_step(self.variables, batch, rng)
             if pending is not None:
@@ -213,7 +215,7 @@ class PredictorEvaluator:
     def load_data(self):
         self.test_set = load_data(self.exp_params, split="test")
         self.test_loader = DataLoader(self.test_set, batch_size=self.batch_size, shuffle=False,
-                                      **_proc_kwargs())
+                                      **loader_process_kwargs(self.mesh))
 
     def load_models(self, sample_videos: np.ndarray, sample_text: Optional[dict] = None):
         c, p = self.num_context, self.num_preds
@@ -267,6 +269,8 @@ class PredictorEvaluator:
                 teacher_force=False, **text_kwargs,
             )
 
+        rep = replicated_sharding(self.mesh)
+
         @jax.jit
         def decode_metrics_stage(pred_slots, videos):
             b = pred_slots.shape[0]
@@ -275,7 +279,12 @@ class PredictorEvaluator:
             )
             targets = jnp.clip(videos[:, c : c + p], 0, 1)
             pred_imgs = jnp.clip(dec["recons_imgs"].reshape(targets.shape), 0, 1)
-            return tracker.compute(pred_imgs, targets), pred_imgs
+            vals = tracker.compute(pred_imgs, targets)
+            # replicate the tiny (B, F) metrics so every process holds the
+            # full result (multi-host) and host slicing is addressable
+            vals = jax.tree_util.tree_map(
+                lambda x: jax.lax.with_sharding_constraint(x, rep), vals)
+            return vals, pred_imgs
 
         def eval_step(pred_params, videos, rng, **text_kwargs):
             """Two chained XLA programs with no host round-trip between them
@@ -293,8 +302,12 @@ class PredictorEvaluator:
         pending = None  # accumulate batch i-1 while batch i computes
         for videos, others in _progress(self.test_loader, total=len(self.test_loader), desc="eval"):
             step += 1
-            padded, b = pad_batch((np.asarray(videos), _text_kwargs(others)), self.mesh)
-            videos_p, text_p = padded
+            if "num_valid" in others:  # loader padded globally (multi-host)
+                b = int(others["num_valid"])
+                videos_p, text_p = np.asarray(videos), _text_kwargs(others)
+            else:
+                (videos_p, text_p), b = pad_batch(
+                    (np.asarray(videos), _text_kwargs(others)), self.mesh)
             batch = shard_batch(jnp.asarray(videos_p), self.mesh)
             text_p = shard_batch(text_p, self.mesh)
             rng = jax.random.fold_in(jax.random.PRNGKey(14), step)

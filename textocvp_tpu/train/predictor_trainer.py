@@ -27,6 +27,7 @@ from textocvp_tpu.data import DataLoader, load_data
 from textocvp_tpu.models import setup_model, setup_predictor
 from textocvp_tpu.parallel.distributed import (
     get_runtime_mesh,
+    loader_process_kwargs,
     maybe_initialize_distributed,
 )
 from textocvp_tpu.parallel.mesh import get_mesh, replicated_sharding
@@ -44,16 +45,6 @@ def _text_kwargs(others: dict) -> dict:
             out[k] = jnp.asarray(v)
     return out
 
-
-def _proc_kwargs() -> dict:
-    """Per-process input sharding (multi-host): each process loads its own
-    slice of every global batch; single-process runs are unaffected."""
-    import jax
-
-    if jax.process_count() > 1:
-        return {"process_index": jax.process_index(),
-                "process_count": jax.process_count()}
-    return {}
 
 
 @for_all_methods(log_function)
@@ -101,10 +92,10 @@ class PredictorTrainer:
         self.valid_set = load_data(exp_params, split="valid")
         self.train_loader = DataLoader(
             self.train_set, batch_size=bs,
-            shuffle=exp_params["dataset"].get("shuffle_train", True), **_proc_kwargs())
+            shuffle=exp_params["dataset"].get("shuffle_train", True), **loader_process_kwargs(self.mesh))
         self.valid_loader = DataLoader(
             self.valid_set, batch_size=bs,
-            shuffle=exp_params["dataset"].get("shuffle_eval", False), **_proc_kwargs())
+            shuffle=exp_params["dataset"].get("shuffle_eval", False), **loader_process_kwargs(self.mesh))
 
     # ----------------------------------------------------------------- model
     def setup_model(self, sample_videos: np.ndarray, sample_text: Optional[dict] = None):

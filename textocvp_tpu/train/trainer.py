@@ -34,6 +34,7 @@ from textocvp_tpu.data import DataLoader, load_data
 from textocvp_tpu.models import setup_model
 from textocvp_tpu.parallel.distributed import (
     get_runtime_mesh,
+    loader_process_kwargs,
     maybe_initialize_distributed,
 )
 from textocvp_tpu.parallel.mesh import get_mesh
@@ -60,16 +61,6 @@ def freeze_labels(params, frozen_prefixes: tuple[str, ...]):
     return labels
 
 
-
-def _proc_kwargs() -> dict:
-    """Per-process input sharding (multi-host): each process loads its own
-    slice of every global batch; single-process runs are unaffected."""
-    import jax
-
-    if jax.process_count() > 1:
-        return {"process_index": jax.process_index(),
-                "process_count": jax.process_count()}
-    return {}
 
 @for_all_methods(log_function)
 class DecompTrainer:
@@ -101,11 +92,11 @@ class DecompTrainer:
         self.train_loader = DataLoader(
             self.train_set, batch_size=bs,
             shuffle=self.exp_params["dataset"].get("shuffle_train", True),
-            **_proc_kwargs())
+            **loader_process_kwargs(self.mesh))
         self.valid_loader = DataLoader(
             self.valid_set, batch_size=bs,
             shuffle=self.exp_params["dataset"].get("shuffle_eval", False),
-            **_proc_kwargs())
+            **loader_process_kwargs(self.mesh))
         print_(f"Loaded {len(self.train_set)} train / {len(self.valid_set)} valid sequences")
 
     # ----------------------------------------------------------------- model
