@@ -105,3 +105,29 @@ def test_slot_attention_with_torch_gru_semantics(rng):
 
     out, _ = mod.apply(params, inputs, slots, num_iters=2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_conv_transpose_block_matches_torch(rng):
+    """ConvTransposeBlock (reference model_blocks.py:112-182): flax
+    ConvTranspose with explicit padding == torch ConvTranspose2d(padding=k//2),
+    weights converted IOHW -> HWIO with spatial flip."""
+    from textocvp_tpu.nn.blocks import ConvTransposeBlock
+
+    k, cin, cout = 5, 6, 8
+    convt_t = torch.nn.ConvTranspose2d(cin, cout, kernel_size=k, stride=1,
+                                       padding=k // 2)
+    x = rng.standard_normal((2, cin, 12, 12)).astype(np.float32)
+    with torch.no_grad():
+        ref = torch.relu(convt_t(torch.from_numpy(x))).numpy()
+
+    # torch ConvTranspose2d weight: (in, out, kh, kw); flax ConvTranspose
+    # kernel: (kh, kw, in, out) and correlates (no flip), torch convolves ->
+    # flip the spatial dims
+    w = convt_t.weight.detach().numpy()
+    kernel = w.transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+    params = {"params": {"Conv_0": {"kernel": jnp.asarray(kernel),
+                                    "bias": jnp.asarray(convt_t.bias.detach().numpy())}}}
+    mod = ConvTransposeBlock(out_channels=cout, kernel_size=k)
+    out = mod.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2), ref,
+                               rtol=1e-4, atol=1e-5)

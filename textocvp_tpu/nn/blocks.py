@@ -109,6 +109,60 @@ def upsample_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     )
 
 
+class ConvTransposeBlock(nn.Module):
+    """
+    ConvTranspose (or Conv) -> (BatchNorm) -> (Upsample) -> (ReLU), NHWC
+    (reference model_blocks.py:112-182; defined for capability parity — no
+    shipped reference config instantiates it).
+    """
+
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    batch_norm: bool = False
+    upsample: Optional[int] = None
+    activation: bool = True
+    conv_transpose_2d: bool = True
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        pad = self.kernel_size // 2
+        if self.conv_transpose_2d:
+            # torch ConvTranspose2d 'padding' REMOVES rows/cols from the
+            # output; flax expresses the same op via explicit padding
+            self.conv = nn.ConvTranspose(
+                self.out_channels,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=[(self.kernel_size - 1 - pad, self.kernel_size - 1 - pad)] * 2,
+                kernel_init=xavier_uniform,
+                dtype=self.dtype,
+                name="Conv_0",
+            )
+        else:
+            self.conv = nn.Conv(
+                self.out_channels,
+                (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=pad,
+                kernel_init=xavier_uniform,
+                dtype=self.dtype,
+                name="Conv_0",
+            )
+        if self.batch_norm:
+            self.bn = nn.BatchNorm(dtype=self.dtype, name="BatchNorm_0")
+
+    def __call__(self, x, train: bool = False):
+        x = self.conv(x)
+        if self.batch_norm:
+            x = self.bn(x, use_running_average=not train)
+        if self.upsample:
+            x = upsample_nearest(x, self.upsample)
+        if self.activation:
+            x = nn.relu(x)
+        return x
+
+
 class SoftPositionEmbed(nn.Module):
     """
     Soft positional embedding: a 4-channel coordinate grid projected to
