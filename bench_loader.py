@@ -143,6 +143,10 @@ def main(argv=None):
                     default="thread")
     ap.add_argument("--data-root", default=os.environ.get("TEXTOCVP_DATA", ""))
     ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--imgio", choices=["native", "pil", "both"], default="native",
+                    help="PNG decode path: the C++ extension (default, falls "
+                         "back to PIL if unbuildable), pure PIL, or an A/B "
+                         "of the two")
     args = ap.parse_args(argv)
 
     from textocvp_tpu.data.datasets import CATER, CLIPort
@@ -171,25 +175,37 @@ def main(argv=None):
         ncores = os.cpu_count() or 1
         worker_types = ["thread", "process"] if args.worker_type == "both" \
             else [args.worker_type]
+        from textocvp_tpu import native
+
+        imgio_modes = ["native", "pil"] if args.imgio == "both" else [args.imgio]
         for name, ds, bs, rate_key in [
             ("cater64_png", cater, 8, "cater64"),
             ("cater64_npy_cache", cater_npy, 8, "cater64"),
             ("cliport336_png", cliport, 4, "cliport336"),
         ]:
             for wt in worker_types:
-                fps = measure(ds, batch_size=bs, num_frames=8,
-                              workers=args.workers, worker_type=wt,
-                              epochs=args.epochs)
-                consumer = CONSUMER_RATES[rate_key]
-                print(json.dumps({
-                    "dataset": name, "workers": args.workers, "worker_type": wt,
-                    "host_cores": ncores,
-                    "frames_per_sec": round(fps, 1),
-                    "frames_per_sec_per_core": round(fps / ncores, 1),
-                    "consumer_frames_per_sec": consumer,
-                    "keeps_up": fps >= consumer,
-                    "cores_needed_est": round(consumer / max(fps / ncores, 1e-9), 1),
-                }))
+                for im in imgio_modes:
+                    # toggle the native PNG path (latched state reset so the
+                    # env var is re-consulted)
+                    os.environ["TEXTOCVP_NATIVE_IMGIO"] = "1" if im == "native" else "0"
+                    native._lib, native._load_failed = None, False
+                    used_native = im == "native" and native.available()
+                    fps = measure(ds, batch_size=bs, num_frames=8,
+                                  workers=args.workers, worker_type=wt,
+                                  epochs=args.epochs)
+                    consumer = CONSUMER_RATES[rate_key]
+                    print(json.dumps({
+                        "dataset": name, "workers": args.workers, "worker_type": wt,
+                        "imgio": "native" if used_native else "pil",
+                        "host_cores": ncores,
+                        "frames_per_sec": round(fps, 1),
+                        "frames_per_sec_per_core": round(fps / ncores, 1),
+                        "consumer_frames_per_sec": consumer,
+                        "keeps_up": fps >= consumer,
+                        "cores_needed_est": round(consumer / max(fps / ncores, 1e-9), 1),
+                    }))
+                    if "npy" in name:
+                        break  # no PNG decode in this pipeline: A/B is meaningless
     return 0
 
 

@@ -78,3 +78,25 @@ def test_upsample_nearest():
     assert y.shape == (1, 4, 4, 1)
     assert (y[0, :2, :2, 0] == 0).all()
     assert (y[0, 2:, 2:, 0] == 3).all()
+
+
+def test_resnet34_savi_encoder():
+    """Working 'ResNet' encoder option (the reference registers it at
+    encoders.py:16 but never wires it; timm_encoders.py:100-119 is its broken
+    constructor). SAVi geometry: stride-1 stem => only stage transitions
+    downsample, overall /8, 512 features."""
+    from textocvp_tpu.nn.encoders import get_encoder
+
+    mod, feats = get_encoder({"encoder_name": "ResNet", "encoder_params": {}})
+    assert feats == 512
+    x = jnp.ones((2, 32, 32, 3))
+    params = mod.init(jax.random.PRNGKey(0), x)
+    out = jax.jit(lambda p, v: mod.apply(p, v))(params, x)
+    assert out.shape == (2, 4, 4, 512)
+    # GroupNorm, not BatchNorm: no batch statistics collections exist
+    assert set(params.keys()) == {"params"}
+    # ResNet-34 block count: 2 convs per block * (3+4+6+3) + stem + 3 downsample
+    n_convs = sum(1 for p in jax.tree_util.tree_leaves_with_path(params)
+                  if any(getattr(k, "key", None) is not None and "Conv" in str(k.key)
+                         for k in p[0]) and p[1].ndim == 4)
+    assert n_convs == 2 * 16 + 1 + 3

@@ -54,8 +54,29 @@ def _resize_frames(frames: np.ndarray, size) -> np.ndarray:
 def _load_image_resized(path: str, size) -> np.ndarray:
     """Decode one image and resize it INSIDE PIL's uint8 domain, converting to
     float32 [0,1] only at the final (small) resolution. This is the throughput
-    path: full-res float round-trips cost ~10x (see bench_loader.py)."""
+    path: full-res float round-trips cost ~10x (see bench_loader.py).
+
+    PNGs take the native C++ fast path when the extension has been built
+    (textocvp_tpu/native/imgio.cpp — libpng decode + a resize that is
+    bit-exact with PIL.BILINEAR, so both paths produce identical arrays);
+    everything else, and any native failure, falls back to PIL."""
     from PIL import Image
+
+    if path.lower().endswith(".png"):
+        from textocvp_tpu import native
+
+        if native.available():
+            with open(path, "rb") as f:
+                data = f.read()
+            hw = native.png_size(data)
+            if hw is not None:
+                if size is None:
+                    arr8 = native.decode_png_rgb(data)
+                else:
+                    new_h, new_w = _target_hw(hw[0], hw[1], size)
+                    arr8 = native.decode_png_rgb_resized(data, new_h, new_w)
+                if arr8 is not None:
+                    return arr8.astype(np.float32) / 255.0
 
     with open(path, "rb") as f:
         img = Image.open(f).convert("RGB")

@@ -19,6 +19,7 @@ from textocvp_tpu.nn.vit import ViTEncoder, VIT_CONFIGS
 ENCODERS = [
     "ConvEncoder",
     "ConvEncoder128",
+    "ResNet",
     "vit_small_patch16_224_dino",
     "vit_small_patch8_224_dino",
     "vit_base_patch16_224_dino",
@@ -83,6 +84,78 @@ class ConvEncoder128(nn.Module):
         return x
 
 
+class ResNetBasicBlock(nn.Module):
+    """Pre-activation-free BasicBlock with GroupNorm (ResNet-34 style)."""
+
+    channels: int
+    stride: int = 1
+    num_groups: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(self.channels, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False, dtype=self.dtype)(x)
+        y = nn.GroupNorm(num_groups=self.num_groups, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.channels, (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype)(y)
+        y = nn.GroupNorm(num_groups=self.num_groups, dtype=self.dtype)(y)
+        if self.stride != 1 or residual.shape[-1] != self.channels:
+            residual = nn.Conv(self.channels, (1, 1),
+                               strides=(self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype)(residual)
+            residual = nn.GroupNorm(num_groups=self.num_groups,
+                                    dtype=self.dtype)(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet34SAVi(nn.Module):
+    """ResNet-34 feature encoder as modified for SAVi / SAVi++.
+
+    The reference registers ``"ResNet"`` in its encoder list
+    (src/models/EncodersDecoders/encoders.py:16) but never wires it into the
+    factory (the branch falls through to ``NotImplementedError`` at :89), and
+    its ``resnet34_savi`` constructor (timm_encoders.py:100-119) carries a
+    latent bug (``norm_layer=layers.GroupNorm **kwargs``). This module is the
+    working realisation of what that code describes: BasicBlock [3, 4, 6, 3],
+    GroupNorm instead of BatchNorm, and a stride-1 stem conv + stride-1
+    maxpool so only the stage transitions downsample (overall /8 instead of
+    the classification ResNet's /32) — the SAVi++ recipe.
+    """
+
+    num_groups: int = 32
+    dtype: Any = jnp.float32
+
+    # (channels, num_blocks, first_stride) per stage — ResNet-34 geometry
+    STAGES = ((64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2))
+
+    @property
+    def out_features(self) -> int:
+        return self.STAGES[-1][0]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        del train  # GroupNorm has no train/eval distinction
+        # Stem: 7x7/stride-1 conv (SAVi mod of the usual stride 2)
+        x = nn.Conv(64, (7, 7), strides=(1, 1), padding=3, use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=self.num_groups, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        # 3x3 maxpool, stride 1 (SAVi mod of the usual stride 2)
+        x = nn.max_pool(x, (3, 3), strides=(1, 1), padding=((1, 1), (1, 1)))
+        for channels, blocks, first_stride in self.STAGES:
+            for i in range(blocks):
+                x = ResNetBasicBlock(
+                    channels=channels,
+                    stride=first_stride if i == 0 else 1,
+                    num_groups=self.num_groups,
+                    dtype=self.dtype,
+                )(x)
+        return x
+
+
 def get_encoder(encoder: dict, dtype=jnp.float32) -> tuple[nn.Module, int]:
     """
     Encoder factory (reference encoders.py:27-95). Returns (module, out_features).
@@ -105,6 +178,9 @@ def get_encoder(encoder: dict, dtype=jnp.float32) -> tuple[nn.Module, int]:
         return mod, mod.out_features
     if name == "ConvEncoder128":
         mod = ConvEncoder128(dtype=dtype)
+        return mod, mod.out_features
+    if name == "ResNet":
+        mod = ResNet34SAVi(dtype=dtype)
         return mod, mod.out_features
 
     # ViT variants
