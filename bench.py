@@ -72,7 +72,10 @@ def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pall
 
     @jax.jit
     def predict_stage(model_params, pred_params, videos, tokens, attn_masks, key):
-        """Seed-encode + autoregressive rollout -> predicted slots."""
+        """Seed-encode + autoregressive rollout -> predicted slots. Weights
+        stay ARGUMENTS here: baking the 35M-param T5 into the executable as
+        constants pushes the remote compile past 10 minutes for no measured
+        step-time win (the rollout is latency-, not schedule-, bound)."""
         out = model.apply(model_params, videos, decode=False, rngs={"slots": key})
         pred_slots = predictor.apply(
             pred_params, out["slot_history"], num_preds=num_preds,
@@ -80,12 +83,24 @@ def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pall
         )
         return pred_slots
 
+    from textocvp_tpu.models.chunked import pick_tail_chunks
+
+    tail_chunks = pick_tail_chunks(batch_size * num_preds, num_slots)
+
     @jax.jit
-    def decode_stage(model_params, pred_slots):
+    def decode_stage(pred_slots):
+        """Decoder tail convs as a lax.scan over chunks, with the frozen
+        model weights CLOSED OVER (baked into the executable as constants).
+        Both halves are required: at the flagship shape the decode measures
+        372 ms flat, 515 ms chunked-with-weight-arguments, but 228 ms
+        chunked-with-weight-constants (docs/PERFORMANCE.md 'decode
+        chunking'). Weights are fixed at load time, so constant-baking is
+        free for inference. First conv + expand stay flat — exact either
+        way."""
         b = pred_slots.shape[0]
-        dec = model.apply(model_params,
+        dec = model.apply(model_vars,
                           pred_slots.reshape(b * num_preds, num_slots, slot_dim),
-                          method="decode")
+                          method="decode", tail_chunks=tail_chunks)
         imgs = jnp.clip(dec["recons_imgs"], 0, 1)
         return imgs, jnp.sum(imgs)
 
@@ -94,10 +109,12 @@ def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pall
         round-trip between them. (A single fused 3-stage program compiles to a
         ~3.5x slower schedule on the current remote-compiled TPU runtime —
         measured 1.5s vs 61ms+339ms for the parts at batch 32 — so the
-        pipeline is split at the rollout/decode boundary.)"""
+        pipeline is split at the rollout/decode boundary.) The decomp weights
+        are baked into the decode executable as constants — measured 2.3x
+        faster than passing them as arguments."""
         pred_slots = predict_stage(model_params, pred_params, videos, tokens,
                                    attn_masks, key)
-        return decode_stage(model_params, pred_slots)
+        return decode_stage(pred_slots)
 
     return eval_step, (model_vars, pred_vars, videos, tokens, attn_masks)
 

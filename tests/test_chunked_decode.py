@@ -1,0 +1,92 @@
+"""Scan-chunked decode tail (nn/decoders.py tail_chunks + models/chunked.py
+policy): must equal the flat decode exactly, and pick sane chunk counts."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from textocvp_tpu.core.config import build_exp_params
+from textocvp_tpu.models import setup_model
+from textocvp_tpu.models.chunked import pick_tail_chunks, resolve_tail_chunks
+
+
+def test_pick_tail_chunks_policy():
+    # flagship: 1216 slot-rows x 8 slots = 9728 frames -> 8 chunks of 1216
+    assert pick_tail_chunks(1216, 8) == 8
+    # small eval batch: left flat
+    assert pick_tail_chunks(16, 8) == 1
+    assert pick_tail_chunks(100, 4) == 1          # 400 frames < 2x target
+    # prime row count with big frames: no divisor, stays flat
+    assert pick_tail_chunks(1217, 8) in (1, 1217// 1217)
+    assert resolve_tail_chunks("auto", 1216, 8) == 8
+    assert resolve_tail_chunks(None, 1216, 8) == 8
+    assert resolve_tail_chunks(4, 1216, 8) == 4
+    assert resolve_tail_chunks(0, 1216, 8) == 1
+
+
+@pytest.fixture(scope="module")
+def tiny_savi():
+    exp_params = build_exp_params("SAVi", "CATER_Easy")
+    mp = exp_params["model"]["model_params"]
+    mp["num_slots"], mp["slot_dim"] = 4, 16
+    mp["mlp_hidden"] = 16
+    mp["mlp_encoder_dim"] = 16
+    mp["encoder"]["encoder_params"]["num_channels"] = [8, 8]
+    mp["decoder"]["decoder_params"]["num_channels"] = [8, 8]
+    model = setup_model(exp_params)
+    videos = jnp.zeros((1, 1, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)},
+        videos, decode=True, train=False)
+    return model, variables
+
+
+def test_chunked_tail_equals_flat(tiny_savi):
+    model, variables = tiny_savi
+    slots = jax.random.normal(jax.random.PRNGKey(2), (12, 4, 16))
+    flat = model.apply(variables, slots, method="decode")
+    for chunks in (2, 3, 4):
+        out = model.apply(variables, slots, method="decode", tail_chunks=chunks)
+        np.testing.assert_allclose(np.asarray(out["recons_imgs"]),
+                                   np.asarray(flat["recons_imgs"]),
+                                   rtol=0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out["masks"]),
+                                   np.asarray(flat["masks"]),
+                                   rtol=0, atol=1e-6)
+
+
+def test_non_divisible_chunks_fall_back_flat(tiny_savi):
+    model, variables = tiny_savi
+    slots = jax.random.normal(jax.random.PRNGKey(3), (7, 4, 16))
+    # 7*4=28 conv frames, 5 does not divide 28
+    out = model.apply(variables, slots, method="decode", tail_chunks=5)
+    flat = model.apply(variables, slots, method="decode")
+    np.testing.assert_allclose(np.asarray(out["recons_imgs"]),
+                               np.asarray(flat["recons_imgs"]), atol=1e-6)
+
+
+def test_chunked_under_jit_and_grad(tiny_savi):
+    model, variables = tiny_savi
+    slots = jax.random.normal(jax.random.PRNGKey(4), (12, 4, 16))
+
+    @jax.jit
+    def f(v, s):
+        return model.apply(v, s, method="decode", tail_chunks=4)["recons_imgs"]
+
+    np.testing.assert_allclose(
+        np.asarray(f(variables, slots)),
+        np.asarray(model.apply(variables, slots, method="decode")["recons_imgs"]),
+        atol=1e-6)
+
+    # gradients flow through the scanned tail and match the flat decode's
+    def loss(v, s, chunks):
+        out = model.apply(v, s, method="decode", tail_chunks=chunks)
+        return jnp.mean(out["recons_imgs"] ** 2)
+
+    g_flat = jax.grad(loss)(variables, slots, 1)
+    g_chunk = jax.grad(loss)(variables, slots, 4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-5),
+        g_flat, g_chunk)

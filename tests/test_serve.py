@@ -1,0 +1,159 @@
+"""Serving layer (textocvp_tpu/serve): compiled fixed-shape inference over a
+trained experiment, plus the stdlib HTTP server."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from textocvp_tpu.core.experiment import Experiment
+from textocvp_tpu.models import setup_model, setup_predictor
+from textocvp_tpu.train.checkpoints import save_checkpoint
+
+
+NUM_PREDS = 2
+RES = 32
+
+
+@pytest.fixture(scope="module")
+def served_exp(tmp_path_factory):
+    """Tiny SAVi + TextOCVP_CustomTF experiment with random-init checkpoints
+    (serving only needs the load/compile/dispatch path, not trained weights)."""
+    root = tmp_path_factory.mktemp("serve_exp")
+    parent = Experiment.create(root / "e", "SAVi", "CATER_Easy")
+    params = parent.params
+    mp = params["model"]["model_params"]
+    mp.update(num_slots=4, slot_dim=32, mlp_hidden=32, mlp_encoder_dim=32,
+              resolution=[RES, RES])
+    mp["encoder"]["encoder_params"].update(num_channels=[16, 16],
+                                           resolution=[RES, RES])
+    mp["decoder"]["decoder_params"].update(num_channels=[16, 16],
+                                           resolution=[RES, RES])
+    mp["transition_module"] = {"model_name": "TransformerBlock",
+                               "num_heads": 2, "mlp_size": 32}
+    params["dataset"]["tokenizer"] = "CustomTokenizer"
+    parent.save_params(params)
+
+    # decomp checkpoint
+    model = setup_model(params)
+    videos = jnp.zeros((1, 1, RES, RES, 3))
+    model_vars = model.init(
+        {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)},
+        videos, decode=True, train=False)
+    save_checkpoint(parent.models_dir, "checkpoint_epoch_final",
+                    {"params": model_vars["params"]})
+
+    pred_exp = Experiment.create_predictor(parent.exp_path, "tiny_tf",
+                                           "TextOCVP_CustomTF")
+    pparams = pred_exp.params
+    pp = pparams["predictor"]["predictor_params"]
+    pp["predictor_params"].update(token_dim=32, n_heads=2, hidden_dim=64,
+                                  num_layers=2)
+    pp["fusion_params"].update(num_heads=2, head_dim=16, mlp_size=64)
+    pp["text_encoder_params"].update(input_dim=32, num_layers=1, num_heads=2,
+                                     vocab_size=50)
+    pparams["prediction_params"].update(num_context=1, num_preds=NUM_PREDS,
+                                        input_buffer_size=3)
+    pred_exp.save_params(pparams)
+
+    predictor = setup_predictor(pparams)
+    slots = model.apply(model_vars, videos, decode=False,
+                        rngs={"slots": jax.random.PRNGKey(2)})["slot_history"]
+    pred_vars = predictor.init(
+        {"params": jax.random.PRNGKey(3)}, slots,
+        caption_tokens=jnp.ones((1, 6), jnp.int32),
+        caption_lengths=jnp.full((1,), 6, jnp.int32))
+    save_checkpoint(pred_exp.models_dir, "checkpoint_epoch_final",
+                    {"params": pred_vars["params"]})
+    return parent.exp_path
+
+
+@pytest.fixture(scope="module")
+def service(served_exp):
+    from textocvp_tpu.serve import PredictionService
+
+    return PredictionService(
+        served_exp, "tiny_tf",
+        decomp_ckpt="checkpoint_epoch_final",
+        pred_ckpt="checkpoint_epoch_final",
+        batch_size=2, max_tokens=8)
+
+
+def test_predict_shapes_and_padding(service):
+    frames = np.random.default_rng(0).random((1, 1, RES, RES, 3), np.float32)
+    out = service.predict(frames, ["the snitch is picked up"])
+    assert out.shape == (1, NUM_PREDS, RES, RES, 3)
+    assert np.all(out >= 0) and np.all(out <= 1)
+    # full batch
+    out2 = service.predict(np.repeat(frames, 2, axis=0), ["the cone is rotating", "the snitch is sliding"])
+    assert out2.shape == (2, NUM_PREDS, RES, RES, 3)
+    # padded row must not change row 0's result (fixed shapes, same program).
+    # The slot initializer is stochastic per call (LearnedRandom, faithful to
+    # the reference), so pin the service's RNG counter for the comparison.
+    service._counter = 100
+    a = service.predict(frames, ["the snitch is picked up"])
+    service._counter = 100
+    b = service.predict(np.repeat(frames, 2, axis=0),
+                        ["the snitch is picked up", "the cone is rotating"])
+    np.testing.assert_allclose(a[0], b[0], atol=1e-5)
+
+
+def test_predict_validates_request(service):
+    frames = np.zeros((1, 1, RES, RES, 3), np.float32)
+    with pytest.raises(ValueError):
+        service.predict(np.zeros((3, 1, RES, RES, 3), np.float32), ["the"] * 3)
+    with pytest.raises(ValueError):
+        service.predict(frames, ["the", "the"])
+    with pytest.raises(ValueError):
+        service.predict(np.zeros((1, 2, RES, RES, 3), np.float32), ["the"])
+
+
+def test_oov_caption_is_a_request_error(service):
+    frames = np.zeros((1, 1, RES, RES, 3), np.float32)
+    with pytest.raises(ValueError, match="out-of-vocabulary"):
+        service.predict(frames, ["the xylophone is picked up"])
+
+
+def test_uint8_input(service):
+    frames = np.zeros((1, 1, RES, RES, 3), np.uint8)
+    out = service.predict(frames, ["the snitch is placed up"])
+    assert out.dtype == np.float32
+
+
+def test_http_server_roundtrip(service):
+    from textocvp_tpu.serve import serve
+
+    httpd = serve(service, host="127.0.0.1", port=0, warmup=False)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        health = json.loads(urllib.request.urlopen(base + "/healthz").read())
+        assert health["status"] == "ok"
+        assert health["num_preds"] == NUM_PREDS
+
+        frames = (np.random.default_rng(1).random((1, 1, RES, RES, 3)) * 255
+                  ).astype(np.uint8)
+        buf = io.BytesIO()
+        np.savez(buf, frames=frames,
+                 captions=np.array(["the snitch is picked up"]))
+        req = urllib.request.Request(
+            base + "/predict", data=buf.getvalue(),
+            headers={"Content-Type": "application/npz"})
+        with urllib.request.urlopen(req) as r:
+            reply = np.load(io.BytesIO(r.read()))
+        assert reply["pred_frames"].shape == (1, NUM_PREDS, RES, RES, 3)
+        assert reply["pred_frames"].dtype == np.uint8
+
+        # malformed request -> 400, not a crash
+        bad = urllib.request.Request(base + "/predict", data=b"junk")
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(bad)
+        assert e.value.code in (400, 500)
+    finally:
+        httpd.shutdown()

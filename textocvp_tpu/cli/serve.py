@@ -1,0 +1,48 @@
+"""CLI 07: serve a trained predictor experiment over HTTP (TPU-native
+deployment path; no reference equivalent — its inference surface stops at the
+batch eval script, reference 05_evaluate_predictor.py)."""
+
+import argparse
+
+from textocvp_tpu.cli.arguments import _norm_exp_dir
+
+
+def serve_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Serve text-conditioned video prediction over HTTP")
+    parser.add_argument("-d", "--exp_directory", required=True)
+    parser.add_argument("--name_pred_exp", required=True)
+    parser.add_argument("--decomp_ckpt", required=True)
+    parser.add_argument("--pred_ckpt", required=True)
+    parser.add_argument("--num_seed", type=int, default=None)
+    parser.add_argument("--num_preds", type=int, default=None)
+    parser.add_argument("--batch_size", type=int, default=8,
+                        help="compiled request batch (requests are padded)")
+    parser.add_argument("--max_tokens", type=int, default=24)
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    args = parser.parse_args(argv)
+    args.exp_directory = _norm_exp_dir(args.exp_directory)
+    return args
+
+
+def main(argv=None):
+    args = serve_args(argv)
+    from textocvp_tpu.serve import PredictionService, serve
+
+    service = PredictionService(
+        args.exp_directory, args.name_pred_exp,
+        decomp_ckpt=args.decomp_ckpt, pred_ckpt=args.pred_ckpt,
+        num_seed=args.num_seed, num_preds=args.num_preds,
+        batch_size=args.batch_size, max_tokens=args.max_tokens,
+    )
+    httpd = serve(service, host=args.host, port=args.port)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,50 @@
+"""Decode chunking policy for large inference batches.
+
+Measured on TPU v5e (docs/PERFORMANCE.md "decode chunking"): the flagship
+decode's tail convs sustain ~58 TFLOPS dispatched as one flat batch of 9728
+frames but ~152 TFLOPS as a ``lax.scan`` over chunks of ~1216 frames — the
+toolchain schedules the small-working-set loop body far better than the giant
+flat op. Crucially, ONLY the tail convs may live inside the scan: putting the
+spatial-broadcast / gather-expand first stage in the scan body compiles to a
+4-6x SLOWER schedule (measured 1406 ms and 557 ms vs the 372 ms flat
+baseline; the flat-expand + scanned-tail form runs 228 ms).
+
+The scan itself is implemented in ConvDecoder.decode_broadcast
+(``tail_chunks``); this module holds the policy for choosing the chunk count.
+Chunking is exact — batch elements are independent — and is applied on the
+inference paths (bench.py, evaluators). Training keeps the flat decode.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+# Sweet spot measured on v5e: ~1216 conv frames per chunk.
+TARGET_FRAMES_PER_CHUNK = 1216
+
+
+def pick_tail_chunks(n_rows: int, num_slots: int,
+                     target_frames: int = TARGET_FRAMES_PER_CHUNK) -> int:
+    """Chunk count for a decode of ``n_rows`` slot-sets (conv batch =
+    n_rows * num_slots frames): the largest divisor of n_rows keeping at
+    least ``target_frames`` frames per chunk. 1 = flat decode (small batches
+    are left alone)."""
+    frames = n_rows * num_slots
+    if frames <= 2 * target_frames:
+        return 1
+    best = 1
+    for c in range(2, n_rows + 1):
+        if n_rows % c:
+            continue
+        if frames // c < target_frames:
+            break
+        best = c
+    return best
+
+
+def resolve_tail_chunks(config_value, n_rows: int, num_slots: int) -> int:
+    """Resolve the ``tpu.decode_chunks`` experiment option: None/"auto" ->
+    measured policy; an int -> that many chunks (1 disables)."""
+    if config_value in (None, "auto"):
+        return pick_tail_chunks(n_rows, num_slots)
+    return max(1, int(config_value))

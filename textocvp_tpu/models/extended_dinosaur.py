@@ -77,8 +77,14 @@ class ExtendedDINOSAUR(nn.Module):
         )
 
     # ------------------------------------------------------------------ decode
-    def decode(self, slots, train: bool = False):
-        """Slots (N, S, D) -> patch features, masks and optional images."""
+    def decode(self, slots, train: bool = False, tail_chunks: int = 1):
+        """Slots (N, S, D) -> patch features, masks and optional images.
+
+        ``tail_chunks`` is accepted for call-site uniformity with SAVi.decode
+        but currently unused: the MLP patch decoder is matmul-shaped and does
+        not exhibit the flat-conv-batch scheduling pathology the chunked scan
+        works around (docs/PERFORMANCE.md "decode chunking")."""
+        del tail_chunks
         return self.patch_decoder(slots, train=train)
 
     # ------------------------------------------------------------------ decomp

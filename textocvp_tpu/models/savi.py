@@ -109,7 +109,7 @@ class SAVi(nn.Module):
         return self.encoder_mlp(x)
 
     # ------------------------------------------------------------------ decode
-    def decode(self, slots, train: bool = False):
+    def decode(self, slots, train: bool = False, tail_chunks: int = 1):
         """
         Slots (N, S, D) -> spatial-broadcast decode
         (reference SAVi.py:241-275). Returns dict with recons_imgs (N, H, W, C),
@@ -119,6 +119,10 @@ class SAVi(nn.Module):
         broadcast structure (spatially-constant slot tile + positional map)
         and runs on a small tile — exact up to float reassociation; see
         ConvDecoder.decode_broadcast.
+
+        ``tail_chunks > 1`` scans the decoder's tail convs over batch chunks
+        (exact; large inference batches only — see ConvDecoder.decode_broadcast
+        and textocvp_tpu/models/chunked.py for the auto policy).
         """
         n, s, d = slots.shape
         h0, w0 = self.decoder_resolution
@@ -129,6 +133,7 @@ class SAVi(nn.Module):
                 (h0, w0),
                 train=train,
                 expand_impl=self.fast_decode_expand,
+                tail_chunks=tail_chunks,
             )
         else:
             x = jnp.broadcast_to(slots[:, :, None, None, :], (n, s, h0, w0, d))

@@ -88,7 +88,7 @@ class ConvDecoder(nn.Module):
         return self.final_conv(x)
 
     def decode_broadcast(self, slots, pos_map, resolution, train: bool = False,
-                         expand_impl: str = "concat"):
+                         expand_impl: str = "concat", tail_chunks: int = 1):
         """
         slots: (N, D) spatially-constant content; pos_map: (H0, W0, D) the
         positional projection added to the broadcast. Equivalent to
@@ -101,6 +101,15 @@ class ConvDecoder(nn.Module):
         backward is a serialized scatter on TPU; 'concat'
         (slice+broadcast+concat) has a cheap reduction backward — use it
         whenever gradients flow through the decoder.
+
+        ``tail_chunks > 1`` runs the tail convs as a ``lax.scan`` over that
+        many batch chunks: on TPU v5e the identical convs sustain ~2.6x the
+        TFLOPS as a small-working-set loop body than as one flat multi-GB
+        batch (docs/PERFORMANCE.md "decode chunking"). Exact — batch elements
+        are independent. The first conv + expand must stay OUTSIDE the scan
+        (broadcast/gather ops inside a scan body compile to a pathological
+        schedule on the current toolchain — measured 4-6x slower). Ignored
+        when it does not divide the batch.
         """
         h, w = resolution
         pad = self.kernel_size // 2
@@ -142,7 +151,56 @@ class ConvDecoder(nn.Module):
 
         y1 = expanded + y_pos
         x = jax.nn.relu(y1) if self.blocks[0].activation else y1
+
+        if (tail_chunks > 1 and x.shape[0] % tail_chunks == 0
+                and not self.is_initializing()):
+            return self._tail_scanned(x, tail_chunks)
         return self._tail(x, train=train)
+
+    def _tail_scanned(self, x, tail_chunks: int):
+        """``_tail`` as a raw ``lax.scan`` over batch chunks, with the conv
+        params pulled from the bound submodules and applied functionally.
+
+        A raw scan is deliberate: the flax ``nn.scan`` lifted transform
+        compiles this loop ~2.3x slower on the current TPU toolchain (515 ms
+        vs 228 ms at the flagship shape — docs/PERFORMANCE.md "decode
+        chunking"). Exactness vs ``_tail`` (values and gradients) is asserted
+        by tests/test_chunked_decode.py. Assumes the decode_broadcast
+        preconditions (stride 1, no batch norm)."""
+        from flax.linen.dtypes import promote_dtype
+
+        def apply_conv(xc, kernel, bias, pad):
+            xc, kernel, bias = promote_dtype(xc, kernel, bias, dtype=self.dtype)
+            y = jax.lax.conv_general_dilated(
+                xc, kernel, (1, 1), [(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + bias.reshape(1, 1, 1, -1)
+
+        tail_params = []
+        for block in self.blocks[1:]:
+            p = block.conv.variables["params"]
+            tail_params.append((p["kernel"], p["bias"], block.activation))
+        fp = self.final_conv.variables["params"]
+
+        up = None if (self.upsample is None or self.upsample < 2) else self.upsample
+        n = len(self.hidden_dims)
+        pad = self.kernel_size // 2
+
+        def tail_fn(xc):
+            # mirrors _tail exactly (upsample placement included)
+            if up is not None and n - 1 > 0:
+                xc = upsample_nearest(xc, up)
+            for j, (kernel, bias, activation) in enumerate(tail_params, start=1):
+                xc = apply_conv(xc, kernel, bias, pad)
+                if activation:
+                    xc = nn.relu(xc)
+                if up is not None and (n - 1 - j) > 0:
+                    xc = upsample_nearest(xc, up)
+            return apply_conv(xc, fp["kernel"], fp["bias"], 1)
+
+        chunks = x.reshape(tail_chunks, x.shape[0] // tail_chunks, *x.shape[1:])
+        _, y = jax.lax.scan(lambda c, xc: (c, tail_fn(xc)), (), chunks)
+        return y.reshape(x.shape[0], *y.shape[2:])
 
 
 class MLPPatchDecoder(nn.Module):

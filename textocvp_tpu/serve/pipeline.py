@@ -1,0 +1,206 @@
+"""Production inference pipeline: load a trained experiment once, compile the
+two-stage prediction program once, answer requests at fixed shapes.
+
+The reference has no serving story (its inference surface is the batch eval
+script, /root/reference/src/05_evaluate_predictor.py); this module is the
+TPU-native deployment path:
+
+* fixed request shapes (batch, token length) so every request hits the same
+  compiled executables — no retrace, no recompile;
+* the frozen decomposition weights are baked into the decode executable as
+  constants and the decoder tail runs as a scanned loop — the measured-fastest
+  inference decode structure (docs/PERFORMANCE.md "decode chunking");
+* predict and decode dispatched back-to-back with no host round-trip between
+  them (the two-program split that avoids the three-stage fusion pathology);
+* thread-safe: dispatch is serialized by a lock (a single chip runs one
+  program at a time anyway), tokenization happens outside it.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from textocvp_tpu.core.experiment import Experiment
+from textocvp_tpu.core.logger import Logger
+from textocvp_tpu.data.tokenizers import get_tokenizer
+from textocvp_tpu.data.vocabularies import (
+    CATER_EASY_VOCAB,
+    CATER_HARD_VOCAB,
+    CLIPORT_VOCAB,
+    SYNTHETIC_VOCAB,
+)
+from textocvp_tpu.models import setup_model, setup_predictor
+from textocvp_tpu.models.chunked import pick_tail_chunks
+from textocvp_tpu.train.checkpoints import checkpoint_path, load_checkpoint
+
+_VOCABS = {
+    "CATER_Easy": CATER_EASY_VOCAB,
+    "CATER_Hard": CATER_HARD_VOCAB,
+    "CLIPort": CLIPORT_VOCAB,
+    "Synthetic": SYNTHETIC_VOCAB,
+}
+
+
+def _serving_tokenizer(exp_params):
+    ds = exp_params["dataset"]
+    return get_tokenizer(ds.get("tokenizer", "T5"),
+                         vocabulary=_VOCABS.get(ds.get("dataset_name")))
+
+
+class PredictionService:
+    """Compiled text-conditioned video-prediction service over one experiment.
+
+    frames in -> ``num_preds`` predicted frames out. Requests are padded to
+    ``batch_size`` rows and ``max_tokens`` caption tokens so every call reuses
+    the same two executables compiled at :meth:`warmup`.
+    """
+
+    def __init__(self, exp_path, name_pred_exp: str, decomp_ckpt: str,
+                 pred_ckpt: str, num_seed: Optional[int] = None,
+                 num_preds: Optional[int] = None, batch_size: int = 8,
+                 max_tokens: int = 24):
+        parent = Experiment(exp_path)
+        self.exp = Experiment(parent.exp_path / "predictors" / name_pred_exp) \
+            if not str(name_pred_exp).startswith(str(parent.exp_path)) \
+            else Experiment(name_pred_exp)
+        Logger(self.exp.exp_path)
+        self.parent = parent
+        self.exp_params = self.exp.params
+
+        pp = self.exp_params["prediction_params"]
+        if num_seed is not None:
+            pp["num_context"] = num_seed
+        if num_preds is not None:
+            pp["num_preds"] = num_preds
+        self.num_context = pp["num_context"]
+        self.num_preds = pp["num_preds"]
+        self.batch_size = int(batch_size)
+        self.max_tokens = int(max_tokens)
+
+        mp = self.exp_params["model"]["model_params"]
+        self.num_slots = mp["num_slots"]
+        self.slot_dim = mp["slot_dim"]
+        res = mp.get("resolution") or [mp.get("img_size"), mp.get("img_size")]
+        self.resolution = (int(res[0]), int(res[1]))
+
+        # measured-fastest inference decode structure (PERFORMANCE.md)
+        self.exp_params.setdefault("tpu", {})["fast_decode_expand"] = "gather"
+        self.model = setup_model(self.exp_params)
+        self.predictor = setup_predictor(self.exp_params)
+        self.tokenizer = _serving_tokenizer(self.exp_params)
+
+        restored = load_checkpoint(
+            checkpoint_path(self.parent.models_dir, decomp_ckpt))
+        self.model_vars = {
+            "params": jax.tree_util.tree_map(jnp.asarray, restored["params"])}
+        if restored.get("batch_stats"):
+            self.model_vars["batch_stats"] = jax.tree_util.tree_map(
+                jnp.asarray, restored["batch_stats"])
+        pred_restored = load_checkpoint(
+            checkpoint_path(self.exp.models_dir, pred_ckpt))
+        self.pred_vars = {
+            "params": jax.tree_util.tree_map(jnp.asarray, pred_restored["params"])}
+
+        self._lock = threading.Lock()
+        self._counter = 0
+        self._build()
+
+    # ------------------------------------------------------------------ build
+    def _build(self):
+        model, predictor = self.model, self.predictor
+        model_vars, pred_vars = self.model_vars, self.pred_vars
+        p, s, d = self.num_preds, self.num_slots, self.slot_dim
+        tail_chunks = pick_tail_chunks(self.batch_size * p, s)
+
+        @jax.jit
+        def predict_stage(videos, key, **text_kwargs):
+            out = model.apply(model_vars, videos, decode=False,
+                              rngs={"slots": key})
+            return predictor.apply(pred_vars, out["slot_history"],
+                                   num_preds=p, teacher_force=False,
+                                   **text_kwargs)
+
+        @jax.jit
+        def decode_stage(pred_slots):
+            b = pred_slots.shape[0]
+            dec = model.apply(model_vars, pred_slots.reshape(b * p, s, d),
+                              method="decode", tail_chunks=tail_chunks)
+            imgs = jnp.clip(dec["recons_imgs"], 0.0, 1.0)
+            return imgs.reshape(b, p, *imgs.shape[1:])
+
+        self._predict_stage = predict_stage
+        self._decode_stage = decode_stage
+
+    # ------------------------------------------------------------------ text
+    def _tokenize(self, captions: Sequence[str]) -> dict:
+        try:
+            info = self.tokenizer(list(captions))
+        except KeyError as e:
+            # CustomTokenizer has a closed vocabulary (reference
+            # text_encoders.py:142-195) — surface OOV as a request error
+            raise ValueError(
+                f"caption contains out-of-vocabulary word: {e}") from e
+        kwargs = {}
+        for k in ("caption_tokens", "caption_lengths", "attn_masks"):
+            v = info.get(k)
+            if v is None:
+                continue
+            v = np.asarray(v)
+            if v.ndim == 2:  # pad/trim the token axis to the fixed length
+                t = self.max_tokens
+                if v.shape[1] < t:
+                    v = np.pad(v, ((0, 0), (0, t - v.shape[1])))
+                v = v[:, :t]
+            kwargs[k] = v
+        return kwargs
+
+    # ------------------------------------------------------------------ serve
+    def warmup(self):
+        """Compile both executables with a dummy request (idempotent)."""
+        h, w = self.resolution
+        frames = np.zeros(
+            (1, self.num_context, h, w, 3), dtype=np.float32)
+        self.predict(frames, ["warmup"])
+
+    def predict(self, frames: np.ndarray, captions: Sequence[str]) -> np.ndarray:
+        """
+        frames: (B, num_context, H, W, 3) uint8 or float32 in [0, 1];
+        captions: B strings. Returns (B, num_preds, H, W, 3) float32 in [0, 1].
+        B may be anything from 1 to batch_size; rows are padded to the
+        compiled batch and the padding sliced off the reply.
+        """
+        frames = np.asarray(frames)
+        if frames.dtype == np.uint8:
+            frames = frames.astype(np.float32) / 255.0
+        b = frames.shape[0]
+        if b > self.batch_size:
+            raise ValueError(
+                f"request batch {b} exceeds compiled batch {self.batch_size}")
+        if len(captions) != b:
+            raise ValueError(f"{b} videos but {len(captions)} captions")
+        if frames.shape[1] != self.num_context:
+            raise ValueError(
+                f"expected {self.num_context} context frames, got {frames.shape[1]}")
+
+        pad = self.batch_size - b
+        if pad:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], pad, axis=0)], axis=0)
+            captions = list(captions) + [captions[-1]] * pad
+        text_kwargs = self._tokenize(captions)
+
+        with self._lock:
+            self._counter += 1
+            key = jax.random.fold_in(jax.random.PRNGKey(14), self._counter)
+            pred_slots = self._predict_stage(
+                jnp.asarray(frames), key,
+                **{k: jnp.asarray(v) for k, v in text_kwargs.items()})
+            imgs = self._decode_stage(pred_slots)
+            out = np.asarray(imgs)
+        return out[:b]

@@ -271,11 +271,19 @@ class PredictorEvaluator:
 
         rep = replicated_sharding(self.mesh)
 
+        from textocvp_tpu.models.chunked import resolve_tail_chunks
+
+        decode_chunks_cfg = (self.exp_params.get("tpu") or {}).get("decode_chunks")
+
         @jax.jit
         def decode_metrics_stage(pred_slots, videos):
             b = pred_slots.shape[0]
+            # decoder tail convs scanned over chunks: ~1.6x on large TPU
+            # eval batches, exact (docs/PERFORMANCE.md "decode chunking")
             dec = decomp_model.apply(
-                decomp_vars, pred_slots.reshape(b * p, num_slots, slot_dim), method="decode"
+                decomp_vars, pred_slots.reshape(b * p, num_slots, slot_dim),
+                method="decode",
+                tail_chunks=resolve_tail_chunks(decode_chunks_cfg, b * p, num_slots),
             )
             targets = jnp.clip(videos[:, c : c + p], 0, 1)
             pred_imgs = jnp.clip(dec["recons_imgs"].reshape(targets.shape), 0, 1)
