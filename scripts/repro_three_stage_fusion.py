@@ -18,6 +18,14 @@ Usage (on the TPU runtime):
 Prints one timing line per configuration. If `fused` ~= `split`, the
 pathology is gone on the current toolchain and the two-program split in
 bench.py / train/evaluator.py can be retired.
+
+RESULT on the current toolchain (v5e, 2026-08-16): this TOY shape does NOT
+reproduce it — fused 69.3 ms vs split 59.6 ms (1.16x), while the real model
+degrades ~7x. The trigger needs the real pipeline's structure (the
+spatial-broadcast/gather-expand decode feeding wide conv stacks, per the
+decode-chunking bisection in docs/PERFORMANCE.md: broadcast/gather mixed
+into conv-heavy program regions is what the scheduler mishandles). Kept as
+the baseline harness for building a faithful minimal repro.
 """
 
 import argparse

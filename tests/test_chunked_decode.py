@@ -90,3 +90,16 @@ def test_chunked_under_jit_and_grad(tiny_savi):
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 atol=1e-5),
         g_flat, g_chunk)
+
+
+def test_const_bake_policy():
+    from textocvp_tpu.models.chunked import (
+        CONST_BAKE_LIMIT_BYTES, should_bake_constants, tree_bytes)
+
+    small = {"params": {"w": jnp.zeros((16, 16), jnp.float32)}}
+    assert tree_bytes(small) == 16 * 16 * 4
+    assert should_bake_constants(small)
+    assert not should_bake_constants(small, limit_bytes=16)
+    # a ViT-B/14-sized pytree must NOT be baked (remote compile 413s)
+    vit_bytes = 86_000_000 * 4
+    assert vit_bytes > CONST_BAKE_LIMIT_BYTES

@@ -157,3 +157,18 @@ def test_http_server_roundtrip(service):
         assert e.value.code in (400, 500)
     finally:
         httpd.shutdown()
+
+
+def test_service_arg_path_when_weights_too_big_to_bake(served_exp, monkeypatch):
+    """Forcing the no-bake path (as a ViT-scale model would) must produce
+    the same predictions as the const-baked path."""
+    import textocvp_tpu.models.chunked as chunked
+    from textocvp_tpu.serve import PredictionService
+
+    monkeypatch.setattr(chunked, "should_bake_constants", lambda *a, **k: False)
+    svc = PredictionService(
+        served_exp, "tiny_tf", decomp_ckpt="checkpoint_epoch_final",
+        pred_ckpt="checkpoint_epoch_final", batch_size=2, max_tokens=8)
+    frames = np.random.default_rng(5).random((1, 1, RES, RES, 3), np.float32)
+    out = svc.predict(frames, ["the snitch is picked up"])
+    assert out.shape == (1, NUM_PREDS, RES, RES, 3)

@@ -48,3 +48,28 @@ def resolve_tail_chunks(config_value, n_rows: int, num_slots: int) -> int:
     if config_value in (None, "auto"):
         return pick_tail_chunks(n_rows, num_slots)
     return max(1, int(config_value))
+
+
+# Baking frozen weights into the executable as jit constants is another
+# measured 2.3x on the decode — but only for SMALL pytrees: the remote
+# compile service rejects oversized requests (HTTP 413 at ~hundreds of MB;
+# the 344 MB DINOv2 ViT-B/14 trips it), and very large constants inflate
+# compile time regardless (35M-param T5 -> 10+ min). 64 MB covers every
+# SAVi-decoder model while excluding the ViT/T5 giants.
+CONST_BAKE_LIMIT_BYTES = 64 << 20
+
+
+def tree_bytes(tree) -> int:
+    """Total byte size of all array leaves in a pytree."""
+    import jax
+
+    return sum(
+        getattr(x, "size", 0) * getattr(getattr(x, "dtype", None), "itemsize", 0)
+        for x in jax.tree_util.tree_leaves(tree)
+    )
+
+
+def should_bake_constants(variables, limit_bytes: int = CONST_BAKE_LIMIT_BYTES) -> bool:
+    """Whether a frozen-weight pytree is small enough to close over inside
+    jit (constant-baked executables) rather than pass as an argument."""
+    return tree_bytes(variables) <= limit_bytes

@@ -89,6 +89,15 @@ class PredictionService:
         res = mp.get("resolution") or [mp.get("img_size"), mp.get("img_size")]
         self.resolution = (int(res[0]), int(res[1]))
 
+        dp = self.exp_params["model"]["model_params"]["decoder"]
+        if (dp.get("decoder_name") == "MLPPatchDecoder"
+                and not dp.get("decoder_params", {}).get("reconstruct_images")):
+            raise ValueError(
+                "this experiment's MLPPatchDecoder has reconstruct_images "
+                "disabled — it decodes ViT patch features, not RGB frames, so "
+                "there is nothing to serve; retrain with reconstruct_images "
+                "or serve a SAVi-decoder experiment")
+
         # measured-fastest inference decode structure (PERFORMANCE.md)
         self.exp_params.setdefault("tpu", {})["fast_decode_expand"] = "gather"
         self.model = setup_model(self.exp_params)
@@ -113,29 +122,39 @@ class PredictionService:
 
     # ------------------------------------------------------------------ build
     def _build(self):
+        from functools import partial
+
+        from textocvp_tpu.models.chunked import should_bake_constants
+
         model, predictor = self.model, self.predictor
         model_vars, pred_vars = self.model_vars, self.pred_vars
         p, s, d = self.num_preds, self.num_slots, self.slot_dim
         tail_chunks = pick_tail_chunks(self.batch_size * p, s)
 
-        @jax.jit
-        def predict_stage(videos, key, **text_kwargs):
-            out = model.apply(model_vars, videos, decode=False,
-                              rngs={"slots": key})
-            return predictor.apply(pred_vars, out["slot_history"],
-                                   num_preds=p, teacher_force=False,
-                                   **text_kwargs)
+        def _predict(mv, pv, videos, key, **text_kwargs):
+            out = model.apply(mv, videos, decode=False, rngs={"slots": key})
+            return predictor.apply(pv, out["slot_history"], num_preds=p,
+                                   teacher_force=False, **text_kwargs)
 
-        @jax.jit
-        def decode_stage(pred_slots):
+        def _decode(mv, pred_slots):
             b = pred_slots.shape[0]
-            dec = model.apply(model_vars, pred_slots.reshape(b * p, s, d),
+            dec = model.apply(mv, pred_slots.reshape(b * p, s, d),
                               method="decode", tail_chunks=tail_chunks)
             imgs = jnp.clip(dec["recons_imgs"], 0.0, 1.0)
             return imgs.reshape(b, p, *imgs.shape[1:])
 
-        self._predict_stage = predict_stage
-        self._decode_stage = decode_stage
+        # small frozen weights: bake into the executables as constants
+        # (measured 2.3x on the decode); ViT/T5-scale pytrees stay arguments
+        # (oversized constants are rejected by the remote compile service
+        # and inflate compile time) — docs/PERFORMANCE.md "decode chunking"
+        bake_m = should_bake_constants(model_vars)
+        bake_p = should_bake_constants(pred_vars)
+        pj = jax.jit(partial(_predict, model_vars, pred_vars)) if (bake_m and bake_p) \
+            else jax.jit(_predict)
+        dj = jax.jit(partial(_decode, model_vars)) if bake_m else jax.jit(_decode)
+        self._predict_stage = pj if (bake_m and bake_p) else (
+            lambda videos, key, **kw: pj(model_vars, pred_vars, videos, key, **kw))
+        self._decode_stage = dj if bake_m else (lambda ps: dj(model_vars, ps))
 
     # ------------------------------------------------------------------ text
     def _tokenize(self, captions: Sequence[str]) -> dict:

@@ -115,8 +115,7 @@ class DecompEvaluator:
 
         rep = replicated_sharding(self.mesh)
 
-        @jax.jit
-        def eval_step(variables, videos, rng):
+        def _eval(variables, videos, rng):
             out = model.apply(variables, videos, rngs={"slots": rng})
             recons = jnp.clip(out["recons_imgs"], 0, 1)
             targets = jnp.clip(videos, 0, 1)
@@ -126,7 +125,23 @@ class DecompEvaluator:
             return jax.tree_util.tree_map(
                 lambda x: jax.lax.with_sharding_constraint(x, rep), vals)
 
-        self.eval_step = eval_step
+        # small frozen models: bake weights into the executable as constants
+        # (measured 2.3x on conv decodes); ViT-scale models pass as argument
+        # (oversized constants are rejected by the remote compile service)
+        from functools import partial
+
+        from textocvp_tpu.models.chunked import should_bake_constants
+
+        if should_bake_constants(self.variables):
+            self.eval_step = jax.jit(partial(_eval, self.variables))
+        else:
+            _j = jax.jit(_eval)
+            variables = self.variables
+
+            def eval_step(videos, rng):
+                return _j(variables, videos, rng)
+
+            self.eval_step = eval_step
 
     def evaluate(self) -> dict:
         step = 0
@@ -143,7 +158,7 @@ class DecompEvaluator:
                 padded, b = pad_batch(np.asarray(videos), self.mesh)
                 batch = shard_batch(jnp.asarray(padded), self.mesh)
             rng = jax.random.fold_in(jax.random.PRNGKey(14), step)
-            vals = self.eval_step(self.variables, batch, rng)
+            vals = self.eval_step(batch, rng)
             if pending is not None:
                 self.metric_tracker.accumulate(precomputed=pending)
             pending = {k: v[:b] for k, v in vals.items()}
@@ -259,29 +274,32 @@ class PredictorEvaluator:
         num_slots = self.exp_params["model"]["model_params"]["num_slots"]
         slot_dim = self.exp_params["model"]["model_params"]["slot_dim"]
 
-        @jax.jit
-        def predict_stage(pred_params, videos, rng, **text_kwargs):
+        rep = replicated_sharding(self.mesh)
+
+        from functools import partial
+
+        from textocvp_tpu.models.chunked import (
+            resolve_tail_chunks,
+            should_bake_constants,
+        )
+
+        decode_chunks_cfg = (self.exp_params.get("tpu") or {}).get("decode_chunks")
+
+        def _predict(dv, pred_params, videos, rng, **text_kwargs):
             """Seed-encode + rollout -> predicted slots."""
             seed = videos[:, :c]
-            out = decomp_model.apply(decomp_vars, seed, decode=False, rngs={"slots": rng})
+            out = decomp_model.apply(dv, seed, decode=False, rngs={"slots": rng})
             return predictor.apply(
                 {"params": pred_params}, out["slot_history"], num_preds=p,
                 teacher_force=False, **text_kwargs,
             )
 
-        rep = replicated_sharding(self.mesh)
-
-        from textocvp_tpu.models.chunked import resolve_tail_chunks
-
-        decode_chunks_cfg = (self.exp_params.get("tpu") or {}).get("decode_chunks")
-
-        @jax.jit
-        def decode_metrics_stage(pred_slots, videos):
+        def _decode_metrics(dv, pred_slots, videos):
             b = pred_slots.shape[0]
             # decoder tail convs scanned over chunks: ~1.6x on large TPU
             # eval batches, exact (docs/PERFORMANCE.md "decode chunking")
             dec = decomp_model.apply(
-                decomp_vars, pred_slots.reshape(b * p, num_slots, slot_dim),
+                dv, pred_slots.reshape(b * p, num_slots, slot_dim),
                 method="decode",
                 tail_chunks=resolve_tail_chunks(decode_chunks_cfg, b * p, num_slots),
             )
@@ -293,6 +311,22 @@ class PredictorEvaluator:
             vals = jax.tree_util.tree_map(
                 lambda x: jax.lax.with_sharding_constraint(x, rep), vals)
             return vals, pred_imgs
+
+        # Frozen decomp weights: close over (constant-baked executables,
+        # measured 2.3x faster decode) when the pytree is small; pass as an
+        # argument for ViT-scale models — oversized constants are rejected by
+        # the remote compile service (docs/PERFORMANCE.md "decode chunking").
+        if should_bake_constants(decomp_vars):
+            predict_stage = jax.jit(partial(_predict, decomp_vars))
+            decode_metrics_stage = jax.jit(partial(_decode_metrics, decomp_vars))
+        else:
+            _pj, _dj = jax.jit(_predict), jax.jit(_decode_metrics)
+
+            def predict_stage(pred_params, videos, rng, **text_kwargs):
+                return _pj(decomp_vars, pred_params, videos, rng, **text_kwargs)
+
+            def decode_metrics_stage(pred_slots, videos):
+                return _dj(decomp_vars, pred_slots, videos)
 
         def eval_step(pred_params, videos, rng, **text_kwargs):
             """Two chained XLA programs with no host round-trip between them
