@@ -172,3 +172,25 @@ def test_service_arg_path_when_weights_too_big_to_bake(served_exp, monkeypatch):
     frames = np.random.default_rng(5).random((1, 1, RES, RES, 3), np.float32)
     out = svc.predict(frames, ["the snitch is picked up"])
     assert out.shape == (1, NUM_PREDS, RES, RES, 3)
+
+
+def test_aot_export_roundtrip(service, tmp_path):
+    """Export the compiled stages to StableHLO and predict through the
+    deserialized artifact — same result as the live service with the same
+    RNG counter, with no model code or checkpoints involved."""
+    from textocvp_tpu.serve import ExportedPredictionService, export_service
+
+    art = export_service(service, tmp_path / "artifact")
+    assert (art / "predict.shlo").exists()
+    assert (art / "decode.shlo").exists()
+
+    exported = ExportedPredictionService(art)
+    frames = np.random.default_rng(7).random((1, 1, RES, RES, 3), np.float32)
+    service._counter = 500
+    live = service.predict(frames, ["the snitch is picked up"])
+    exported._counter = 500
+    aot = exported.predict(frames, ["the snitch is picked up"])
+    np.testing.assert_allclose(aot, live, atol=1e-5)
+
+    with pytest.raises(ValueError, match="out-of-vocabulary"):
+        exported.predict(frames, ["the zebra is picked up"])

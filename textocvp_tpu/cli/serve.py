@@ -21,6 +21,10 @@ def serve_args(argv=None):
     parser.add_argument("--max_tokens", type=int, default=24)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--export", default=None, metavar="DIR",
+                        help="instead of serving, AOT-export the compiled "
+                             "stages (StableHLO + manifest) to DIR — "
+                             "deployable without model code or checkpoints")
     args = parser.parse_args(argv)
     args.exp_directory = _norm_exp_dir(args.exp_directory)
     return args
@@ -36,6 +40,12 @@ def main(argv=None):
         num_seed=args.num_seed, num_preds=args.num_preds,
         batch_size=args.batch_size, max_tokens=args.max_tokens,
     )
+    if args.export:
+        from textocvp_tpu.serve.export import export_service
+
+        out = export_service(service, args.export)
+        print(f"exported serving artifact to {out}")
+        return 0
     httpd = serve(service, host=args.host, port=args.port)
     try:
         httpd.serve_forever()

@@ -88,7 +88,8 @@ class ExtendedDINOSAUR(nn.Module):
         return self.patch_decoder(slots, train=train)
 
     # ------------------------------------------------------------------ decomp
-    def decompose(self, x, decode: bool = True, train: bool = False):
+    def decompose(self, x, decode: bool = True, train: bool = False,
+                  tail_chunks: int = 1):
         """
         Video (B, T, H, W, C) in [0,1] -> slots + reconstructions.
 
@@ -133,5 +134,6 @@ class ExtendedDINOSAUR(nn.Module):
                 out["recons_imgs"] = dec["recons_imgs"].reshape(b, t, h, w, c)
         return out
 
-    def __call__(self, x, decode: bool = True, train: bool = False):
+    def __call__(self, x, decode: bool = True, train: bool = False,
+                 tail_chunks: int = 1):
         return self.decompose(x, decode=decode, train=train)

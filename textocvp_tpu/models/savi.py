@@ -148,13 +148,16 @@ class SAVi(nn.Module):
         return {"recons_imgs": recons_imgs, "recons": recons, "masks": masks}
 
     # ------------------------------------------------------------------ decomp
-    def decompose(self, x, decode: bool = True, train: bool = False):
+    def decompose(self, x, decode: bool = True, train: bool = False,
+                  tail_chunks: int = 1):
         """
         Video (B, T, H, W, C) -> object slots (and reconstructions).
 
         Returns dict with slot_history (B, T, S, D), attn_masks
         (B, T, S, num_locations) and, if decode, recons_imgs (B, T, H, W, C),
         recons_objs (B, T, S, H, W, C), masks (B, T, S, H, W, 1).
+        ``tail_chunks`` is forwarded to :meth:`decode` (scan-chunked decoder
+        tail for large inference batches; exact — see models/chunked.py).
         """
         b, t = x.shape[:2]
         frames = x.reshape((b * t,) + x.shape[2:])
@@ -180,12 +183,14 @@ class SAVi(nn.Module):
         out = {"slot_history": slot_history, "attn_masks": jnp.stack(attn_hist, axis=1)}
         if decode:
             dec = self.decode(slot_history.reshape(b * t, self.num_slots, self.slot_dim),
-                              train=train)
+                              train=train, tail_chunks=tail_chunks)
             h, w = dec["recons_imgs"].shape[1:3]
             out["recons_imgs"] = dec["recons_imgs"].reshape(b, t, h, w, self.in_channels)
             out["recons_objs"] = dec["recons"].reshape(b, t, self.num_slots, h, w, self.in_channels)
             out["masks"] = dec["masks"].reshape(b, t, self.num_slots, h, w, 1)
         return out
 
-    def __call__(self, x, decode: bool = True, train: bool = False):
-        return self.decompose(x, decode=decode, train=train)
+    def __call__(self, x, decode: bool = True, train: bool = False,
+                 tail_chunks: int = 1):
+        return self.decompose(x, decode=decode, train=train,
+                              tail_chunks=tail_chunks)

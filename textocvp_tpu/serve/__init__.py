@@ -1,4 +1,15 @@
 from textocvp_tpu.serve.pipeline import PredictionService
 from textocvp_tpu.serve.server import serve
 
-__all__ = ["PredictionService", "serve"]
+
+def __getattr__(name):
+    # lazy: jax.export is only needed for AOT artifact workflows
+    if name in ("export_service", "ExportedPredictionService"):
+        from textocvp_tpu.serve import export as _e
+
+        return getattr(_e, name)
+    raise AttributeError(name)
+
+
+__all__ = ["PredictionService", "serve", "export_service",
+           "ExportedPredictionService"]

@@ -1,0 +1,150 @@
+"""AOT serving artifacts: serialize a PredictionService's two compiled stages
+to StableHLO via ``jax.export``.
+
+Deployment then needs NO model code and NO checkpoints — the exported
+modules embed the frozen weights (the service's constant-baked executables)
+and replay on any runtime with a compatible jax/XLA, including future
+versions (StableHLO forward compatibility). The artifact directory holds:
+
+* ``predict.shlo``  — seed-encode + rollout (videos, key, text...) -> slots
+* ``decode.shlo``   — slots -> frames
+* ``manifest.json`` — request contract (shapes, token length) + the
+  experiment params needed to rebuild the host-side tokenizer
+
+Restore with :class:`ExportedPredictionService`, which mirrors
+``PredictionService.predict`` (padding, tokenization, RNG) over the
+deserialized modules.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+_MANIFEST = "manifest.json"
+_PREDICT = "predict.shlo"
+_DECODE = "decode.shlo"
+
+
+def export_service(service, out_dir) -> Path:
+    """Serialize ``service``'s compiled stages. Requires a service whose
+    weights were constant-baked (small models); argument-passing services
+    (ViT-scale) would need the weight pytrees shipped separately — not
+    supported here."""
+    from textocvp_tpu.serve.pipeline import PredictionService  # noqa: F401
+
+    if getattr(service._predict_stage, "lower", None) is None:
+        raise ValueError(
+            "service weights exceed the constant-bake limit; AOT export "
+            "requires the baked configuration (see models/chunked.py)")
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    b = service.batch_size
+    h, w = service.resolution
+    videos = jax.ShapeDtypeStruct((b, service.num_context, h, w, 3), jnp.float32)
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
+    text_kwargs = {
+        k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+        for k, v in service._tokenize(["the"] * b).items()
+    }
+
+    exp_predict = jax_export.export(service._predict_stage)(
+        videos, key, **{k: v for k, v in text_kwargs.items()})
+    slots_spec = jax.ShapeDtypeStruct(exp_predict.out_avals[0].shape,
+                                      exp_predict.out_avals[0].dtype)
+    exp_decode = jax_export.export(service._decode_stage)(slots_spec)
+
+    (out / _PREDICT).write_bytes(exp_predict.serialize())
+    (out / _DECODE).write_bytes(exp_decode.serialize())
+    manifest = {
+        "batch_size": b,
+        "num_context": service.num_context,
+        "num_preds": service.num_preds,
+        "resolution": [h, w],
+        "max_tokens": service.max_tokens,
+        "text_kwargs": {k: [list(v.shape), str(np.dtype(v.dtype))]
+                        for k, v in text_kwargs.items()},
+        "dataset": service.exp_params["dataset"],
+    }
+    (out / _MANIFEST).write_text(json.dumps(manifest, indent=2))
+    return out
+
+
+class ExportedPredictionService:
+    """Drop-in ``predict()`` over an exported artifact directory — no model
+    code, no checkpoints, no experiment directory."""
+
+    def __init__(self, artifact_dir):
+        from textocvp_tpu.serve.pipeline import _serving_tokenizer
+
+        d = Path(artifact_dir)
+        manifest = json.loads((d / _MANIFEST).read_text())
+        self.batch_size = manifest["batch_size"]
+        self.num_context = manifest["num_context"]
+        self.num_preds = manifest["num_preds"]
+        self.resolution = tuple(manifest["resolution"])
+        self.max_tokens = manifest["max_tokens"]
+        self._text_spec = manifest["text_kwargs"]
+        self.tokenizer = _serving_tokenizer({"dataset": manifest["dataset"]})
+
+        self._predict = jax_export.deserialize(
+            (d / _PREDICT).read_bytes()).call
+        self._decode = jax_export.deserialize(
+            (d / _DECODE).read_bytes()).call
+        self._lock = threading.Lock()
+        self._counter = 0
+
+    def _tokenize(self, captions: Sequence[str]) -> dict:
+        try:
+            info = self.tokenizer(list(captions))
+        except KeyError as e:
+            raise ValueError(
+                f"caption contains out-of-vocabulary word: {e}") from e
+        kwargs = {}
+        for k, (shape, dtype) in self._text_spec.items():
+            v = np.asarray(info[k])
+            if v.ndim == 2:
+                t = shape[1]
+                if v.shape[1] < t:
+                    v = np.pad(v, ((0, 0), (0, t - v.shape[1])))
+                v = v[:, :t]
+            kwargs[k] = v.astype(dtype)
+        return kwargs
+
+    def predict(self, frames: np.ndarray, captions: Sequence[str]) -> np.ndarray:
+        frames = np.asarray(frames)
+        if frames.dtype == np.uint8:
+            frames = frames.astype(np.float32) / 255.0
+        b = frames.shape[0]
+        if b > self.batch_size:
+            raise ValueError(
+                f"request batch {b} exceeds compiled batch {self.batch_size}")
+        if len(captions) != b:
+            raise ValueError(f"{b} videos but {len(captions)} captions")
+        if frames.shape[1] != self.num_context:
+            raise ValueError(
+                f"expected {self.num_context} context frames, got {frames.shape[1]}")
+        pad = self.batch_size - b
+        if pad:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], pad, axis=0)], axis=0)
+            captions = list(captions) + [captions[-1]] * pad
+        text_kwargs = self._tokenize(captions)
+
+        with self._lock:
+            self._counter += 1
+            key = jax.random.fold_in(jax.random.PRNGKey(14), self._counter)
+            slots = self._predict(jnp.asarray(frames, jnp.float32),
+                                  jnp.asarray(key, jnp.uint32),
+                                  **{k: jnp.asarray(v) for k, v in text_kwargs.items()})
+            out = np.asarray(self._decode(slots))
+        return out[:b]

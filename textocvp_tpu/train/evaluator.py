@@ -115,8 +115,19 @@ class DecompEvaluator:
 
         rep = replicated_sharding(self.mesh)
 
+        from textocvp_tpu.models.chunked import resolve_tail_chunks
+
+        decode_chunks_cfg = (self.exp_params.get("tpu") or {}).get("decode_chunks")
+        n_slots = self.exp_params["model"]["model_params"]["num_slots"]
+
         def _eval(variables, videos, rng):
-            out = model.apply(variables, videos, rngs={"slots": rng})
+            b, t = videos.shape[:2]
+            # scan-chunked decoder tail on large recon batches (exact;
+            # docs/PERFORMANCE.md "decode chunking"). ExtendedDINOSAUR
+            # accepts and ignores tail_chunks (measured: no win there).
+            out = model.apply(
+                variables, videos, rngs={"slots": rng},
+                tail_chunks=resolve_tail_chunks(decode_chunks_cfg, b * t, n_slots))
             recons = jnp.clip(out["recons_imgs"], 0, 1)
             targets = jnp.clip(videos, 0, 1)
             vals = tracker.compute(recons, targets)
