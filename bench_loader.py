@@ -178,34 +178,47 @@ def main(argv=None):
         from textocvp_tpu import native
 
         imgio_modes = ["native", "pil"] if args.imgio == "both" else [args.imgio]
-        for name, ds, bs, rate_key in [
-            ("cater64_png", cater, 8, "cater64"),
-            ("cater64_npy_cache", cater_npy, 8, "cater64"),
-            ("cliport336_png", cliport, 4, "cliport336"),
-        ]:
-            for wt in worker_types:
-                for im in imgio_modes:
-                    # toggle the native PNG path (latched state reset so the
-                    # env var is re-consulted)
-                    os.environ["TEXTOCVP_NATIVE_IMGIO"] = "1" if im == "native" else "0"
-                    native._lib, native._load_failed = None, False
-                    used_native = im == "native" and native.available()
-                    fps = measure(ds, batch_size=bs, num_frames=8,
-                                  workers=args.workers, worker_type=wt,
-                                  epochs=args.epochs)
-                    consumer = CONSUMER_RATES[rate_key]
-                    print(json.dumps({
-                        "dataset": name, "workers": args.workers, "worker_type": wt,
-                        "imgio": "native" if used_native else "pil",
-                        "host_cores": ncores,
-                        "frames_per_sec": round(fps, 1),
-                        "frames_per_sec_per_core": round(fps / ncores, 1),
-                        "consumer_frames_per_sec": consumer,
-                        "keeps_up": fps >= consumer,
-                        "cores_needed_est": round(consumer / max(fps / ncores, 1e-9), 1),
-                    }))
-                    if "npy" in name:
-                        break  # no PNG decode in this pipeline: A/B is meaningless
+        prev_imgio_env = os.environ.get("TEXTOCVP_NATIVE_IMGIO")
+        try:
+            for name, ds, bs, rate_key in [
+                ("cater64_png", cater, 8, "cater64"),
+                ("cater64_npy_cache", cater_npy, 8, "cater64"),
+                ("cliport336_png", cliport, 4, "cliport336"),
+            ]:
+                for wt in worker_types:
+                    for im in imgio_modes:
+                        # toggle the native PNG path (latched state reset so
+                        # the env var is re-consulted)
+                        os.environ["TEXTOCVP_NATIVE_IMGIO"] = \
+                            "1" if im == "native" else "0"
+                        native._lib, native._load_failed = None, False
+                        used_native = im == "native" and native.available()
+                        fps = measure(ds, batch_size=bs, num_frames=8,
+                                      workers=args.workers, worker_type=wt,
+                                      epochs=args.epochs)
+                        consumer = CONSUMER_RATES[rate_key]
+                        no_png = "npy" in name  # pipeline decodes no images
+                        print(json.dumps({
+                            "dataset": name, "workers": args.workers,
+                            "worker_type": wt,
+                            "imgio": "none" if no_png
+                                     else ("native" if used_native else "pil"),
+                            "host_cores": ncores,
+                            "frames_per_sec": round(fps, 1),
+                            "frames_per_sec_per_core": round(fps / ncores, 1),
+                            "consumer_frames_per_sec": consumer,
+                            "keeps_up": fps >= consumer,
+                            "cores_needed_est": round(
+                                consumer / max(fps / ncores, 1e-9), 1),
+                        }))
+                        if no_png:
+                            break  # no decode: an imgio A/B is meaningless
+        finally:
+            if prev_imgio_env is None:
+                os.environ.pop("TEXTOCVP_NATIVE_IMGIO", None)
+            else:
+                os.environ["TEXTOCVP_NATIVE_IMGIO"] = prev_imgio_env
+            native._lib, native._load_failed = None, False
     return 0
 
 

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""End-to-end SERVING throughput: the flagship model behind the HTTP npz
+endpoint, measured from the client side (tokenize + pad + dispatch + decode +
+serialization + HTTP overhead included).
+
+Builds a CATER SAVi + TextOCVP_T5 experiment with random-init checkpoints in
+a temp dir (serving cost does not depend on weight values), starts the real
+ThreadingHTTPServer on a loopback port, and fires back-to-back requests.
+
+Prints one JSON line:
+  {"metric": "serve_pred_frames_per_sec", "value": N, "unit": ..., ...}
+
+Usage: python bench_serve.py [--batch 16] [--num_preds 19] [--requests 8]
+"""
+
+import argparse
+import io
+import json
+import sys
+import tempfile
+import threading
+import time
+import urllib.request
+
+
+def build_experiment(root, num_preds: int):
+    import jax
+    import jax.numpy as jnp
+
+    from textocvp_tpu.core.experiment import Experiment
+    from textocvp_tpu.models import setup_model, setup_predictor
+    from textocvp_tpu.train.checkpoints import save_checkpoint
+
+    parent = Experiment.create(root / "e", "SAVi", "CATER_Easy")
+    params = parent.params
+    params["prediction_params"]["num_preds"] = num_preds
+    parent.save_params(params)
+
+    model = setup_model(params)
+    videos = jnp.zeros((1, 1, 64, 64, 3))
+    init_rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
+    model_vars = jax.jit(
+        lambda r, x: model.init(r, x, decode=True, train=False))(init_rngs, videos)
+    save_checkpoint(parent.models_dir, "checkpoint_epoch_final",
+                    {"params": model_vars["params"]})
+
+    pred_exp = Experiment.create_predictor(parent.exp_path, "t5", "TextOCVP_T5")
+    pparams = pred_exp.params
+    pparams["prediction_params"]["num_preds"] = num_preds
+    pred_exp.save_params(pparams)
+    predictor = setup_predictor(pparams)
+    slots = jax.jit(
+        lambda mv, x, k: model.apply(mv, x, decode=False, rngs={"slots": k})
+    )(model_vars, videos, jax.random.PRNGKey(2))["slot_history"]
+    pred_vars = jax.jit(
+        lambda r, s: predictor.init(
+            r, s, caption_tokens=jnp.ones((1, 8), jnp.int32),
+            attn_masks=jnp.ones((1, 8), jnp.int32))
+    )({"params": jax.random.PRNGKey(3)}, slots)
+    save_checkpoint(pred_exp.models_dir, "checkpoint_epoch_final",
+                    {"params": pred_vars["params"]})
+    return parent.exp_path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--num_preds", type=int, default=19)
+    ap.add_argument("--requests", type=int, default=8)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as tmp:
+        print("building experiment + service...", file=sys.stderr)
+        exp_path = build_experiment(Path(tmp), args.num_preds)
+
+        from textocvp_tpu.serve import PredictionService, serve
+
+        service = PredictionService(
+            exp_path, "t5", decomp_ckpt="checkpoint_epoch_final",
+            pred_ckpt="checkpoint_epoch_final", batch_size=args.batch)
+        t0 = time.perf_counter()
+        httpd = serve(service, host="127.0.0.1", port=0)  # warmup=compile
+        print(f"warmup+compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+        rng = np.random.default_rng(0)
+        frames = (rng.random((args.batch, 1, 64, 64, 3)) * 255).astype(np.uint8)
+        buf = io.BytesIO()
+        np.savez(buf, frames=frames,
+                 captions=np.array(["the snitch is picked up"] * args.batch))
+        payload = buf.getvalue()
+        req = lambda: urllib.request.urlopen(urllib.request.Request(  # noqa: E731
+            base + "/predict", data=payload,
+            headers={"Content-Type": "application/npz"})).read()
+
+        req()  # steady-state warm request
+        t0 = time.perf_counter()
+        for _ in range(args.requests):
+            body = req()
+        dt = time.perf_counter() - t0
+        httpd.shutdown()
+
+        out = np.load(io.BytesIO(body))["pred_frames"]
+        assert out.shape[0] == args.batch
+        frames_total = args.requests * args.batch * args.num_preds
+        print(json.dumps({
+            "metric": "serve_pred_frames_per_sec (HTTP end-to-end, CATER "
+                      "SAVi+TextOCVP_T5)",
+            "value": round(frames_total / dt, 2),
+            "unit": "frames/s",
+            "request_latency_ms": round(1000 * dt / args.requests, 1),
+            "batch": args.batch,
+            "num_preds": args.num_preds,
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -137,3 +137,22 @@ class TestExtendedDINOSAUR:
         assert out["masks"].shape == (B, T, 4, 1, 4, 4)
         assert out["recons_imgs"].shape == (B, T, 56, 56, 3)
         assert np.isfinite(np.asarray(out["recons_imgs"])).all()
+
+
+def test_savi_with_resnet_encoder():
+    """The 'ResNet' (ResNet34-SAVi) encoder works INSIDE SAVi: the config's
+    encoder resolution is the /8 feature resolution (8x8 for 64px inputs),
+    which sizes the position embedding (nn/encoders.py::ResNet34SAVi)."""
+    params = tiny_savi_params()
+    mp = params["model"]["model_params"]
+    mp["encoder"] = {"encoder_name": "ResNet",
+                     "encoder_params": {"resolution": [8, 8], "num_groups": 8}}
+    model = setup_model(params)
+    videos = jnp.zeros((1, 2, 64, 64, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)},
+        videos, decode=True, train=False)
+    out = model.apply(variables, videos, decode=True,
+                      rngs={"slots": jax.random.PRNGKey(2)})
+    assert out["slot_history"].shape == (1, 2, mp["num_slots"], mp["slot_dim"])
+    assert out["recons_imgs"].shape == (1, 2, 64, 64, 3)

@@ -88,3 +88,24 @@ def test_loader_path_identical_with_and_without_native(tmp_path, monkeypatch):
 def test_corrupt_png_returns_none():
     assert native.decode_png_rgb(b"not a png") is None
     assert native.png_size(b"\x89PNG\r\n\x1a\njunk") is None
+
+
+def test_16bit_png_falls_back_to_pil(tmp_path):
+    """PNGs that libpng would color-convert (16-bit, non-sRGB) must NOT take
+    the native path — it returns None and the loader falls back to PIL,
+    preserving the bit-exact invariant."""
+    arr16 = (np.random.default_rng(9).integers(0, 65536, (20, 24))
+             ).astype(np.uint16)
+    buf = io.BytesIO()
+    Image.fromarray(arr16, mode="I;16").save(buf, format="PNG")
+    data = buf.getvalue()
+    assert native.decode_png_rgb(data) is None
+    assert native.decode_png_rgb_resized(data, 10, 12) is None
+
+    # the loader still serves the file through the PIL fallback
+    from textocvp_tpu.data import datasets
+
+    p = tmp_path / "deep.png"
+    p.write_bytes(data)
+    out = datasets._load_image_resized(str(p), (10, 12))
+    assert out.shape == (10, 12, 3)

@@ -194,3 +194,19 @@ def test_aot_export_roundtrip(service, tmp_path):
 
     with pytest.raises(ValueError, match="out-of-vocabulary"):
         exported.predict(frames, ["the zebra is picked up"])
+
+
+def test_warmup_uses_in_vocab_caption(service):
+    """serve()'s default warmup must work with closed-vocab tokenizers
+    (regression: the literal caption 'warmup' is OOV for every CustomTokenizer
+    vocabulary and crashed the server at startup)."""
+    cap = service._warmup_caption()
+    service.tokenizer([cap])  # must not raise
+    service.warmup()
+
+
+def test_too_long_caption_is_rejected_not_truncated(service):
+    frames = np.zeros((1, 1, RES, RES, 3), np.float32)
+    long_caption = " ".join(["the"] * (service.max_tokens + 4))
+    with pytest.raises(ValueError, match="caption too long"):
+        service.predict(frames, [long_caption])

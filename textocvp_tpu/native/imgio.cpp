@@ -159,6 +159,13 @@ int imgio_png_size(const uint8_t* buf, size_t len, int* h, int* w) {
 // Decode an in-memory PNG to tightly-packed RGB8 (h*w*3 bytes, caller
 // allocated). Alpha (if present) is DROPPED, not composited — matching
 // PIL Image.convert("RGB"). Returns 0 on success.
+//
+// Returns 4 (caller should fall back to PIL) for PNGs where libpng's
+// simplified API would COLOR-CONVERT rather than just unpack: 16-bit
+// sources (scaled 16->8 differently from PIL) and files tagged with a
+// non-sRGB colorspace (gAMA/cHRM/iCCP — libpng converts toward sRGB, PIL
+// returns the raw bytes). Bailing out preserves the bit-exact-with-PIL
+// invariant for every file the native path does handle.
 int imgio_decode_png_rgb(const uint8_t* buf, size_t len, uint8_t* out,
                          int h, int w) {
   png_image image;
@@ -169,6 +176,11 @@ int imgio_decode_png_rgb(const uint8_t* buf, size_t len, uint8_t* out,
       static_cast<int>(image.width) != w) {
     png_image_free(&image);
     return 2;
+  }
+  if ((image.format & PNG_FORMAT_FLAG_LINEAR) != 0 ||
+      (image.flags & PNG_IMAGE_FLAG_COLORSPACE_NOT_sRGB) != 0) {
+    png_image_free(&image);
+    return 4;
   }
   // Always expand to RGBA so libpng never composites alpha away itself.
   image.format = PNG_FORMAT_RGBA;

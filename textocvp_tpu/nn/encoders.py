@@ -123,6 +123,12 @@ class ResNet34SAVi(nn.Module):
     GroupNorm instead of BatchNorm, and a stride-1 stem conv + stride-1
     maxpool so only the stage transitions downsample (overall /8 instead of
     the classification ResNet's /32) — the SAVi++ recipe.
+
+    Config note: inside SAVi, ``encoder_params.resolution`` must be the
+    FEATURE resolution, i.e. image_size / 8 (e.g. ``[8, 8]`` for 64x64
+    inputs) — the position embedding is built at that size. The stride-1
+    ConvEncoder configs use the image resolution only because those encoders
+    don't downsample. Integration-tested in tests/test_models.py.
     """
 
     num_groups: int = 32
@@ -180,7 +186,7 @@ def get_encoder(encoder: dict, dtype=jnp.float32) -> tuple[nn.Module, int]:
         mod = ConvEncoder128(dtype=dtype)
         return mod, mod.out_features
     if name == "ResNet":
-        mod = ResNet34SAVi(dtype=dtype)
+        mod = ResNet34SAVi(num_groups=params.get("num_groups", 32), dtype=dtype)
         return mod, mod.out_features
 
     # ViT variants

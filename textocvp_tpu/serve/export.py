@@ -21,13 +21,15 @@ from __future__ import annotations
 import json
 import threading
 from pathlib import Path
-from typing import Sequence
+from typing import Sequence  # noqa: F401 (doc types)
 
 import numpy as np
 
-import jax
+import jax  # noqa: F401
 import jax.numpy as jnp
 from jax import export as jax_export
+
+from textocvp_tpu.serve.pipeline import InferenceFrontend
 
 _MANIFEST = "manifest.json"
 _PREDICT = "predict.shlo"
@@ -54,7 +56,7 @@ def export_service(service, out_dir) -> Path:
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)
     text_kwargs = {
         k: jax.ShapeDtypeStruct(v.shape, v.dtype)
-        for k, v in service._tokenize(["the"] * b).items()
+        for k, v in service._tokenize([service._warmup_caption()] * b).items()
     }
 
     exp_predict = jax_export.export(service._predict_stage)(
@@ -79,9 +81,11 @@ def export_service(service, out_dir) -> Path:
     return out
 
 
-class ExportedPredictionService:
+class ExportedPredictionService(InferenceFrontend):
     """Drop-in ``predict()`` over an exported artifact directory — no model
-    code, no checkpoints, no experiment directory."""
+    code, no checkpoints, no experiment directory. Host-side request handling
+    (tokenize/validate/pad/RNG) is inherited from InferenceFrontend, so the
+    exported behavior cannot drift from the live service's."""
 
     def __init__(self, artifact_dir):
         from textocvp_tpu.serve.pipeline import _serving_tokenizer
@@ -96,55 +100,14 @@ class ExportedPredictionService:
         self._text_spec = manifest["text_kwargs"]
         self.tokenizer = _serving_tokenizer({"dataset": manifest["dataset"]})
 
-        self._predict = jax_export.deserialize(
-            (d / _PREDICT).read_bytes()).call
-        self._decode = jax_export.deserialize(
-            (d / _DECODE).read_bytes()).call
+        predict_call = jax_export.deserialize((d / _PREDICT).read_bytes()).call
+        decode_call = jax_export.deserialize((d / _DECODE).read_bytes()).call
+        self._predict_stage = lambda videos, key, **kw: predict_call(
+            videos, jnp.asarray(key, jnp.uint32), **kw)
+        self._decode_stage = decode_call
         self._lock = threading.Lock()
         self._counter = 0
 
-    def _tokenize(self, captions: Sequence[str]) -> dict:
-        try:
-            info = self.tokenizer(list(captions))
-        except KeyError as e:
-            raise ValueError(
-                f"caption contains out-of-vocabulary word: {e}") from e
-        kwargs = {}
-        for k, (shape, dtype) in self._text_spec.items():
-            v = np.asarray(info[k])
-            if v.ndim == 2:
-                t = shape[1]
-                if v.shape[1] < t:
-                    v = np.pad(v, ((0, 0), (0, t - v.shape[1])))
-                v = v[:, :t]
-            kwargs[k] = v.astype(dtype)
-        return kwargs
-
-    def predict(self, frames: np.ndarray, captions: Sequence[str]) -> np.ndarray:
-        frames = np.asarray(frames)
-        if frames.dtype == np.uint8:
-            frames = frames.astype(np.float32) / 255.0
-        b = frames.shape[0]
-        if b > self.batch_size:
-            raise ValueError(
-                f"request batch {b} exceeds compiled batch {self.batch_size}")
-        if len(captions) != b:
-            raise ValueError(f"{b} videos but {len(captions)} captions")
-        if frames.shape[1] != self.num_context:
-            raise ValueError(
-                f"expected {self.num_context} context frames, got {frames.shape[1]}")
-        pad = self.batch_size - b
-        if pad:
-            frames = np.concatenate(
-                [frames, np.repeat(frames[-1:], pad, axis=0)], axis=0)
-            captions = list(captions) + [captions[-1]] * pad
-        text_kwargs = self._tokenize(captions)
-
-        with self._lock:
-            self._counter += 1
-            key = jax.random.fold_in(jax.random.PRNGKey(14), self._counter)
-            slots = self._predict(jnp.asarray(frames, jnp.float32),
-                                  jnp.asarray(key, jnp.uint32),
-                                  **{k: jnp.asarray(v) for k, v in text_kwargs.items()})
-            out = np.asarray(self._decode(slots))
-        return out[:b]
+    def _finalize_token(self, key: str, v: np.ndarray) -> np.ndarray:
+        # coerce to the dtype recorded at export time
+        return v.astype(self._text_spec[key][1])

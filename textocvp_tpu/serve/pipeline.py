@@ -53,7 +53,102 @@ def _serving_tokenizer(exp_params):
                          vocabulary=_VOCABS.get(ds.get("dataset_name")))
 
 
-class PredictionService:
+class InferenceFrontend:
+    """Shared host-side request handling for the live service and the AOT
+    ExportedPredictionService: tokenization, validation, batch padding, RNG.
+
+    Subclasses provide ``_predict_stage(videos, key, **text_kwargs)`` and
+    ``_decode_stage(pred_slots)`` plus the contract attributes
+    (batch_size, num_context, num_preds, resolution, max_tokens, tokenizer).
+    Keeping this single-sourced means the live and exported behaviors cannot
+    drift."""
+
+    def _finalize_token(self, key: str, v: np.ndarray) -> np.ndarray:
+        """Hook for subclasses to coerce a token array to the compiled dtype."""
+        return v
+
+    def _tokenize(self, captions: Sequence[str]) -> dict:
+        try:
+            info = self.tokenizer(list(captions))
+        except KeyError as e:
+            # CustomTokenizer has a closed vocabulary (reference
+            # text_encoders.py:142-195) — surface OOV as a request error
+            raise ValueError(
+                f"caption contains out-of-vocabulary word: {e}") from e
+        kwargs = {}
+        for k in ("caption_tokens", "caption_lengths", "attn_masks"):
+            v = info.get(k)
+            if v is None:
+                continue
+            v = np.asarray(v)
+            if v.ndim == 2:  # pad the token axis to the fixed compiled length
+                t = self.max_tokens
+                if v.shape[1] > t:
+                    # rejecting (not truncating) keeps [SEP]/lengths intact —
+                    # a silent cut would return degraded predictions with no
+                    # signal to the client
+                    raise ValueError(
+                        f"caption too long: {v.shape[1]} tokens exceed the "
+                        f"compiled max_tokens={t}")
+                if v.shape[1] < t:
+                    v = np.pad(v, ((0, 0), (0, t - v.shape[1])))
+            kwargs[k] = self._finalize_token(k, v)
+        return kwargs
+
+    def _warmup_caption(self) -> str:
+        """An in-vocabulary caption for compile warmup (closed-vocab
+        tokenizers reject arbitrary words)."""
+        vocab = getattr(self.tokenizer, "vocabulary", None)
+        if isinstance(vocab, dict):
+            for word, _ in sorted(vocab.items(), key=lambda kv: kv[1]):
+                if not (word.startswith("[") and word.endswith("]")):
+                    return word
+        return "warmup"
+
+    def warmup(self):
+        """Compile/load both executables with a dummy request (idempotent)."""
+        h, w = self.resolution
+        frames = np.zeros((1, self.num_context, h, w, 3), dtype=np.float32)
+        self.predict(frames, [self._warmup_caption()])
+
+    def predict(self, frames: np.ndarray, captions: Sequence[str]) -> np.ndarray:
+        """
+        frames: (B, num_context, H, W, 3) uint8 or float32 in [0, 1];
+        captions: B strings. Returns (B, num_preds, H, W, 3) float32 in [0, 1].
+        B may be anything from 1 to batch_size; rows are padded to the
+        compiled batch and the padding sliced off the reply.
+        """
+        frames = np.asarray(frames)
+        if frames.dtype == np.uint8:
+            frames = frames.astype(np.float32) / 255.0
+        b = frames.shape[0]
+        if b > self.batch_size:
+            raise ValueError(
+                f"request batch {b} exceeds compiled batch {self.batch_size}")
+        if len(captions) != b:
+            raise ValueError(f"{b} videos but {len(captions)} captions")
+        if frames.shape[1] != self.num_context:
+            raise ValueError(
+                f"expected {self.num_context} context frames, got {frames.shape[1]}")
+
+        pad = self.batch_size - b
+        if pad:
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], pad, axis=0)], axis=0)
+            captions = list(captions) + [captions[-1]] * pad
+        text_kwargs = self._tokenize(captions)
+
+        with self._lock:
+            self._counter += 1
+            key = jax.random.fold_in(jax.random.PRNGKey(14), self._counter)
+            pred_slots = self._predict_stage(
+                jnp.asarray(frames, jnp.float32), key,
+                **{k: jnp.asarray(v) for k, v in text_kwargs.items()})
+            out = np.asarray(self._decode_stage(pred_slots))
+        return out[:b]
+
+
+class PredictionService(InferenceFrontend):
     """Compiled text-conditioned video-prediction service over one experiment.
 
     frames in -> ``num_preds`` predicted frames out. Requests are padded to
@@ -156,70 +251,3 @@ class PredictionService:
             lambda videos, key, **kw: pj(model_vars, pred_vars, videos, key, **kw))
         self._decode_stage = dj if bake_m else (lambda ps: dj(model_vars, ps))
 
-    # ------------------------------------------------------------------ text
-    def _tokenize(self, captions: Sequence[str]) -> dict:
-        try:
-            info = self.tokenizer(list(captions))
-        except KeyError as e:
-            # CustomTokenizer has a closed vocabulary (reference
-            # text_encoders.py:142-195) — surface OOV as a request error
-            raise ValueError(
-                f"caption contains out-of-vocabulary word: {e}") from e
-        kwargs = {}
-        for k in ("caption_tokens", "caption_lengths", "attn_masks"):
-            v = info.get(k)
-            if v is None:
-                continue
-            v = np.asarray(v)
-            if v.ndim == 2:  # pad/trim the token axis to the fixed length
-                t = self.max_tokens
-                if v.shape[1] < t:
-                    v = np.pad(v, ((0, 0), (0, t - v.shape[1])))
-                v = v[:, :t]
-            kwargs[k] = v
-        return kwargs
-
-    # ------------------------------------------------------------------ serve
-    def warmup(self):
-        """Compile both executables with a dummy request (idempotent)."""
-        h, w = self.resolution
-        frames = np.zeros(
-            (1, self.num_context, h, w, 3), dtype=np.float32)
-        self.predict(frames, ["warmup"])
-
-    def predict(self, frames: np.ndarray, captions: Sequence[str]) -> np.ndarray:
-        """
-        frames: (B, num_context, H, W, 3) uint8 or float32 in [0, 1];
-        captions: B strings. Returns (B, num_preds, H, W, 3) float32 in [0, 1].
-        B may be anything from 1 to batch_size; rows are padded to the
-        compiled batch and the padding sliced off the reply.
-        """
-        frames = np.asarray(frames)
-        if frames.dtype == np.uint8:
-            frames = frames.astype(np.float32) / 255.0
-        b = frames.shape[0]
-        if b > self.batch_size:
-            raise ValueError(
-                f"request batch {b} exceeds compiled batch {self.batch_size}")
-        if len(captions) != b:
-            raise ValueError(f"{b} videos but {len(captions)} captions")
-        if frames.shape[1] != self.num_context:
-            raise ValueError(
-                f"expected {self.num_context} context frames, got {frames.shape[1]}")
-
-        pad = self.batch_size - b
-        if pad:
-            frames = np.concatenate(
-                [frames, np.repeat(frames[-1:], pad, axis=0)], axis=0)
-            captions = list(captions) + [captions[-1]] * pad
-        text_kwargs = self._tokenize(captions)
-
-        with self._lock:
-            self._counter += 1
-            key = jax.random.fold_in(jax.random.PRNGKey(14), self._counter)
-            pred_slots = self._predict_stage(
-                jnp.asarray(frames), key,
-                **{k: jnp.asarray(v) for k, v in text_kwargs.items()})
-            imgs = self._decode_stage(pred_slots)
-            out = np.asarray(imgs)
-        return out[:b]

@@ -66,12 +66,15 @@ def make_handler(service):
             })
 
         def do_POST(self):
+            # always drain the request body first: replying without reading
+            # it would desync HTTP/1.1 keep-alive (the leftover bytes get
+            # parsed as the next request line)
+            length = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(length) if length else b""
             if self.path != "/predict":
                 return self._reply_json(404, {"error": "unknown path"})
             try:
-                length = int(self.headers.get("Content-Length", "0"))
-                payload = np.load(io.BytesIO(self.rfile.read(length)),
-                                  allow_pickle=False)
+                payload = np.load(io.BytesIO(body), allow_pickle=False)
                 frames = payload["frames"]
                 captions = [str(c) for c in payload["captions"]]
                 preds = service.predict(frames, captions)
