@@ -10,6 +10,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# persistent compilation cache: the suite is dominated by XLA CPU compiles;
+# repeat runs become compile-free (textocvp_tpu/__init__ applies the config —
+# this jax version ignores the bare env var)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/textocvp_jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+import textocvp_tpu  # noqa: E402,F401  (enables the compilation cache)
 
 import jax  # noqa: E402
 

@@ -33,6 +33,12 @@ def test_cli_full_workflow(tmp_path):
         XLA_FLAGS="--xla_force_host_platform_device_count=8",
         TEXTOCVP_EXPERIMENTS=str(tmp_path),
         TEXTOCVP_NUM_WORKERS="2",
+        # the workflow cost is ~10 subprocesses x XLA CPU compiles; the
+        # persistent cache makes re-runs compile-free (~5x faster)
+        JAX_COMPILATION_CACHE_DIR=os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/textocvp_jax_cache")),
+        JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="2",
     )
     exp = str(tmp_path / "exp_cli")
     _run(["src/01_create_experiment.py", "-d", exp,

@@ -37,6 +37,7 @@ def served_exp(tmp_path_factory):
     mp["transition_module"] = {"model_name": "TransformerBlock",
                                "num_heads": 2, "mlp_size": 32}
     params["dataset"]["tokenizer"] = "CustomTokenizer"
+    params["dataset"]["img_size"] = [RES, RES]  # keep dataset/model coherent
     parent.save_params(params)
 
     # decomp checkpoint

@@ -18,3 +18,28 @@ generation and an experiment-directory workflow), re-designed TPU-first:
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compilation_cache():
+    """Honor JAX_COMPILATION_CACHE_DIR even on jax versions where the env var
+    alone is ignored (this runtime needs the explicit config update). The
+    persistent cache makes repeat CLI invocations compile-free — XLA compile
+    dominates cold-start for every entry point."""
+    import os
+
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if not cache_dir:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        min_secs = os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS")
+        if min_secs is not None:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              float(min_secs))
+    except Exception:  # jax absent/old: the cache is an optimization only
+        pass
+
+
+_enable_compilation_cache()

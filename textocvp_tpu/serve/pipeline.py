@@ -144,8 +144,10 @@ class InferenceFrontend:
             pred_slots = self._predict_stage(
                 jnp.asarray(frames, jnp.float32), key,
                 **{k: jnp.asarray(v) for k, v in text_kwargs.items()})
+            # device-side uint8 (see _decode); serving output is 8-bit by
+            # contract — the HTTP wire format is uint8 npz
             out = np.asarray(self._decode_stage(pred_slots))
-        return out[:b]
+        return out[:b].astype(np.float32) / 255.0
 
 
 class PredictionService(InferenceFrontend):
@@ -181,7 +183,12 @@ class PredictionService(InferenceFrontend):
         mp = self.exp_params["model"]["model_params"]
         self.num_slots = mp["num_slots"]
         self.slot_dim = mp["slot_dim"]
-        res = mp.get("resolution") or [mp.get("img_size"), mp.get("img_size")]
+        # input resolution: the dataset config is authoritative (the SAVi
+        # model params carry resolution only inside encoder/decoder params)
+        res = (self.exp_params["dataset"].get("img_size")
+               or mp.get("resolution") or mp.get("img_size"))
+        if isinstance(res, int):
+            res = (res, res)
         self.resolution = (int(res[0]), int(res[1]))
 
         dp = self.exp_params["model"]["model_params"]["decoder"]
@@ -236,6 +243,10 @@ class PredictionService(InferenceFrontend):
             dec = model.apply(mv, pred_slots.reshape(b * p, s, d),
                               method="decode", tail_chunks=tail_chunks)
             imgs = jnp.clip(dec["recons_imgs"], 0.0, 1.0)
+            # quantize ON DEVICE: the serving wire format is uint8 anyway,
+            # and fetching uint8 instead of float32 is 4x less D2H traffic
+            # (the bottleneck on remote-attached runtimes; bench_serve.py)
+            imgs = jnp.round(imgs * 255.0).astype(jnp.uint8)
             return imgs.reshape(b, p, *imgs.shape[1:])
 
         # small frozen weights: bake into the executables as constants

@@ -79,7 +79,7 @@ def make_handler(service):
                 captions = [str(c) for c in payload["captions"]]
                 preds = service.predict(frames, captions)
                 buf = io.BytesIO()
-                np.savez(buf, pred_frames=(preds * 255).astype(np.uint8))
+                np.savez(buf, pred_frames=np.rint(preds * 255).astype(np.uint8))
                 return self._reply(200, buf.getvalue(), "application/npz")
             except (KeyError, ValueError) as e:
                 return self._reply_json(400, {"error": str(e)})
