@@ -39,8 +39,11 @@ from pathlib import Path
 
 import numpy as np
 
-# TPU consumption rates to keep up with (frames/s/chip, measured round 1)
-CONSUMER_RATES = {"cater64": 2930.0, "cliport336": 172.0}
+# TPU consumption rates to keep up with (frames/s/chip). Round-2 values:
+# CATER recon eval's model side doubled with decode chunking (220.9 ->
+# 113.9 ms at B=64*T=8 => ~4500 f/s before metrics; PERFORMANCE.md);
+# the 336px DINOSAUR eval stays metric-stack-bound at ~172.
+CONSUMER_RATES = {"cater64": 4500.0, "cliport336": 172.0}
 
 
 # ------------------------------------------------------------------ fixtures

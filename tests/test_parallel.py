@@ -255,3 +255,36 @@ def test_maybe_initialize_distributed_noop_without_env(monkeypatch):
     monkeypatch.delenv("TEXTOCVP_COORDINATOR", raising=False)
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
     assert distributed.maybe_initialize_distributed() is False
+
+
+def test_chunked_decode_under_data_sharding():
+    """The scan-chunked decoder tail must produce the flat decode's results
+    when the slot batch is SHARDED over the data axis (the chunk reshape
+    crosses shard boundaries; XLA must resolve it without changing values)."""
+    from textocvp_tpu.core.config import build_exp_params
+    from textocvp_tpu.models import setup_model
+    from textocvp_tpu.parallel.mesh import get_mesh, shard_batch
+
+    params = build_exp_params("SAVi", "CATER_Easy")
+    mp = params["model"]["model_params"]
+    mp.update(num_slots=4, slot_dim=16, mlp_hidden=16, mlp_encoder_dim=16)
+    mp["encoder"]["encoder_params"]["num_channels"] = [8, 8]
+    mp["decoder"]["decoder_params"]["num_channels"] = [8, 8]
+    model = setup_model(params)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 1, 64, 64, 3)), decode=True, train=False)
+
+    mesh = get_mesh(data=-1, model=1)
+    slots = jax.random.normal(jax.random.PRNGKey(2), (16, 4, 16))
+    sharded = shard_batch(slots, mesh)
+
+    flat = model.apply(variables, slots, method="decode")["recons_imgs"]
+
+    @jax.jit
+    def chunked(s):
+        return model.apply(variables, s, method="decode",
+                           tail_chunks=4)["recons_imgs"]
+
+    out = chunked(sharded)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(flat), atol=1e-5)
