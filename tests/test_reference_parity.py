@@ -434,3 +434,55 @@ def test_import_cli_round_trips_reference_pth(ref, rng, tmp_path, monkeypatch):
     np.testing.assert_allclose(np.asarray(out["slot_history"]),
                                ref_out["slot_history"].numpy(),
                                rtol=1e-4, atol=1e-4)
+
+
+# --------------------------------------------------------------- MLPPatchDecoder
+def test_mlp_patch_decoder_matches_reference(ref, rng):
+    """The DINOSAUR decode side vs the actual torch reference
+    (decoders.py:264-365 incl. the CNN image head + bilinear resize),
+    converted through the production importer (convert_patch_decoder).
+    The ViT encoder side needs timm (absent offline), so this pins the
+    largest torch-testable piece of ExtendedDINOSAUR."""
+    import sys
+
+    sys.path.insert(0, "/root/reference/src")
+    from models.EncodersDecoders.decoders import MLPPatchDecoder as RefMLPPatch
+
+    from textocvp_tpu.nn.decoders import MLPPatchDecoder
+    from textocvp_tpu.train.torch_import import convert_patch_decoder
+
+    dp = dict(num_patches=16, in_dim=24, hidden_dim=32, out_dim=20,
+              num_layers=3, initial_layer_norm=True, reconstruct_images=True,
+              patch_size=4, img_size=16, num_layers_cnn=2)
+    torch.manual_seed(14)
+    ref_dec = RefMLPPatch(**dp)
+    ref_dec.eval()
+
+    b, s = 2, 4
+    slots = rng.standard_normal((b, s, dp["in_dim"])).astype(np.float32)
+    with torch.no_grad():
+        out_t = ref_dec(torch.from_numpy(slots))
+
+    sd = {"decoder." + k: v.detach().numpy()
+          for k, v in ref_dec.state_dict().items()}
+    params, batch_stats = convert_patch_decoder(sd, dp, dp["img_size"])
+
+    ours = MLPPatchDecoder(
+        num_patches=dp["num_patches"], in_dim=dp["in_dim"],
+        hidden_dim=dp["hidden_dim"], out_dim=dp["out_dim"],
+        num_layers=dp["num_layers"], initial_layer_norm=True,
+        reconstruct_images=True, patch_size=dp["patch_size"],
+        img_size=dp["img_size"], num_layers_cnn=dp["num_layers_cnn"])
+    variables = {"params": params,
+                 "batch_stats": batch_stats["patch_decoder"]}
+    out_j = ours.apply(variables, jnp.asarray(slots), train=False)
+
+    np.testing.assert_allclose(np.asarray(out_j["recons_feats"]),
+                               out_t["recons_feats"].numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_j["masks"]),
+                               out_t["masks"].numpy(), rtol=1e-4, atol=1e-4)
+    # ours is NHWC; reference NCHW
+    np.testing.assert_allclose(
+        np.asarray(out_j["recons_imgs"]).transpose(0, 3, 1, 2),
+        out_t["recons_imgs"].numpy(), rtol=1e-4, atol=1e-4)

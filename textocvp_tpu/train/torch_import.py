@@ -196,6 +196,44 @@ def convert_savi(sd: dict, model_params: dict) -> dict:
     return {"params": params}
 
 
+def convert_patch_decoder(sd: dict, dp: dict, img_size: int,
+                          prefix: str = "decoder.") -> tuple:
+    """Reference MLPPatchDecoder state dict (keys under ``prefix``) -> our
+    flax patch_decoder params + batch_stats subtree (reference
+    decoders.py:264-365). Shared by the full ExtendedDINOSAUR converter and
+    standalone-parity tests."""
+    num_layers = dp.get("num_layers", 4)
+    mlp_idx = 1 if dp.get("initial_layer_norm") else 0
+    patch_decoder = {"pos_embed": sd[f"{prefix}pos_embed"]}
+    if dp.get("initial_layer_norm"):
+        patch_decoder["initial_ln"] = _ln(sd, f"{prefix}mlp.0")
+    seq = mlp_idx
+    for i in range(num_layers):
+        patch_decoder[f"mlp_{i}"] = _linear(sd, f"{prefix}mlp.{seq}")
+        seq += 2  # skip the ReLU
+
+    batch_stats: dict = {}
+    if dp.get("reconstruct_images"):
+        num_cnn = dp.get("num_layers_cnn", 4)
+        bs_tree = {}
+        seq_idx = 0
+        current = int(dp["num_patches"] ** 0.5)
+        patch_size = dp["patch_size"]
+        for i in range(num_cnn):
+            conv = _conv(sd, f"{prefix}conv_patch_decoder.{seq_idx}.block.0")
+            bn_p, bn_s = _bn(sd, f"{prefix}conv_patch_decoder.{seq_idx}.block.1")
+            patch_decoder[f"cnn_{i}"] = {"Conv_0": conv, "BatchNorm_0": bn_p}
+            bs_tree[f"cnn_{i}"] = {"BatchNorm_0": bn_s}
+            seq_idx += 1
+            if ((i + 1) * 2 < patch_size) and (current < img_size):
+                seq_idx += 1  # Upsample
+                current *= 2
+        patch_decoder["cnn_final"] = _conv(
+            sd, f"{prefix}conv_patch_decoder.{seq_idx}")
+        batch_stats = {"patch_decoder": bs_tree}
+    return patch_decoder, batch_stats
+
+
 def convert_extended_dinosaur(sd: dict, model_params: dict) -> dict:
     """Reference ExtendedDINOSAUR state dict -> our flax params + batch_stats."""
     from textocvp_tpu.nn.vit import VIT_CONFIGS, ViTEncoder, import_timm_state_dict
@@ -213,36 +251,8 @@ def convert_extended_dinosaur(sd: dict, model_params: dict) -> dict:
               if k.startswith("encoder.vit_backbone.")}
     image_encoder = import_timm_state_dict(vit_sd, vit)
 
-    dp = model_params["decoder"]["decoder_params"]
-    num_layers = dp.get("num_layers", 4)
-    mlp_idx = 1 if dp.get("initial_layer_norm") else 0
-    patch_decoder = {"pos_embed": sd["decoder.pos_embed"]}
-    if dp.get("initial_layer_norm"):
-        patch_decoder["initial_ln"] = _ln(sd, "decoder.mlp.0")
-    seq = mlp_idx
-    for i in range(num_layers):
-        patch_decoder[f"mlp_{i}"] = _linear(sd, f"decoder.mlp.{seq}")
-        seq += 2  # skip the ReLU
-
-    batch_stats: dict = {}
-    if dp.get("reconstruct_images"):
-        num_cnn = dp.get("num_layers_cnn", 4)
-        bs_tree = {}
-        seq_idx = 0
-        current = int(dp["num_patches"] ** 0.5)
-        patch_size = dp["patch_size"]
-        img_size = model_params["img_size"]
-        for i in range(num_cnn):
-            conv = _conv(sd, f"decoder.conv_patch_decoder.{seq_idx}.block.0")
-            bn_p, bn_s = _bn(sd, f"decoder.conv_patch_decoder.{seq_idx}.block.1")
-            patch_decoder[f"cnn_{i}"] = {"Conv_0": conv, "BatchNorm_0": bn_p}
-            bs_tree[f"cnn_{i}"] = {"BatchNorm_0": bn_s}
-            seq_idx += 1
-            if ((i + 1) * 2 < patch_size) and (current < img_size):
-                seq_idx += 1  # Upsample
-                current *= 2
-        patch_decoder["cnn_final"] = _conv(sd, f"decoder.conv_patch_decoder.{seq_idx}")
-        batch_stats = {"patch_decoder": bs_tree}
+    patch_decoder, batch_stats = convert_patch_decoder(
+        sd, model_params["decoder"]["decoder_params"], model_params["img_size"])
 
     params = {
         "slot_initializer": _initializer(sd, "initializer"),
