@@ -24,7 +24,7 @@ Consumer rates (what the TPU eats): CATER eval consumes ~2784 pred-frames/s
 input requirement is (1+19)/19 * rollout rate counted in INPUT frames; decomp
 eval consumes full sequences. We benchmark against the harshest case: every
 loaded frame feeds the chip (decomp eval), i.e. loader f/s must beat the
-chip's full-sequence consumption (~2930 f/s CATER recon, ~172 f/s DINOSAUR
+chip's full-sequence consumption (~4500 f/s CATER recon, ~550 f/s DINOSAUR
 @336 from PERFORMANCE.md).
 """
 
@@ -42,8 +42,9 @@ import numpy as np
 # TPU consumption rates to keep up with (frames/s/chip). Round-2 values:
 # CATER recon eval's model side doubled with decode chunking (220.9 ->
 # 113.9 ms at B=64*T=8 => ~4500 f/s before metrics; PERFORMANCE.md);
-# the 336px DINOSAUR eval stays metric-stack-bound at ~172.
-CONSUMER_RATES = {"cater64": 4500.0, "cliport336": 172.0}
+# the 336px DINOSAUR eval stage compute measures ~550 f/s (fused
+# decode+metrics; PERFORMANCE.md).
+CONSUMER_RATES = {"cater64": 4500.0, "cliport336": 550.0}
 
 
 # ------------------------------------------------------------------ fixtures
