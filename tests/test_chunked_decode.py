@@ -12,15 +12,18 @@ from textocvp_tpu.models.chunked import pick_tail_chunks, resolve_tail_chunks
 
 
 def test_pick_tail_chunks_policy():
-    # flagship: 1216 slot-rows x 8 slots = 9728 frames -> 8 chunks of 1216
-    assert pick_tail_chunks(1216, 8) == 8
+    # flagship: 1216 slot-rows x 8 slots = 9728 frames -> 4 chunks of 2432
+    # (measured sweet spot; docs/PERFORMANCE.md chunk sweep)
+    assert pick_tail_chunks(1216, 8) == 4
+    # recon eval: 512 rows x 8 = 4096 frames -> 2 chunks of 2048
+    assert pick_tail_chunks(512, 8) == 2
     # small eval batch: left flat
     assert pick_tail_chunks(16, 8) == 1
-    assert pick_tail_chunks(100, 4) == 1          # 400 frames < 2x target
+    assert pick_tail_chunks(100, 4) == 1          # 400 frames << target
     # prime row count with big frames: no divisor, stays flat
     assert pick_tail_chunks(1217, 8) in (1, 1217// 1217)
-    assert resolve_tail_chunks("auto", 1216, 8) == 8
-    assert resolve_tail_chunks(None, 1216, 8) == 8
+    assert resolve_tail_chunks("auto", 1216, 8) == 4
+    assert resolve_tail_chunks(None, 1216, 8) == 4
     assert resolve_tail_chunks(4, 1216, 8) == 4
     assert resolve_tail_chunks(0, 1216, 8) == 1
 

@@ -23,8 +23,10 @@ from __future__ import annotations
 
 from typing import Optional
 
-# Sweet spot measured on v5e: ~1216 conv frames per chunk.
-TARGET_FRAMES_PER_CHUNK = 1216
+# Sweet spot measured on v5e (chunk-count sweep at the flagship shape:
+# 4 chunks of 2432 frames = 218.7 ms vs 8x1216 = 227.9, 16x608 = 358.5;
+# the recon-eval shape's best was 2x2048): ~2048 conv frames per chunk.
+TARGET_FRAMES_PER_CHUNK = 2048
 
 
 def pick_tail_chunks(n_rows: int, num_slots: int,
@@ -34,7 +36,7 @@ def pick_tail_chunks(n_rows: int, num_slots: int,
     least ``target_frames`` frames per chunk. 1 = flat decode (small batches
     are left alone)."""
     frames = n_rows * num_slots
-    if frames <= 2 * target_frames:
+    if frames < 1.5 * target_frames:
         return 1
     best = 1
     for c in range(2, n_rows + 1):
