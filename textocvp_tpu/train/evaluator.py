@@ -155,6 +155,13 @@ class DecompEvaluator:
             self.eval_step = eval_step
 
     def evaluate(self) -> dict:
+        """Set TEXTOCVP_PROFILE=<dir> to capture a jax.profiler trace of the
+        eval loop (same knob as the trainers)."""
+        import os as _os
+
+        profile_dir = _os.environ.get("TEXTOCVP_PROFILE")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         step = 0
         pending = None  # accumulate batch i-1 while batch i computes
         for videos, others in _progress(self.test_loader, total=len(self.test_loader), desc="eval"):
@@ -175,6 +182,8 @@ class DecompEvaluator:
             pending = {k: v[:b] for k, v in vals.items()}
         if pending is not None:
             self.metric_tracker.accumulate(precomputed=pending)
+        if profile_dir:
+            jax.profiler.stop_trace()
         self.metric_tracker.aggregate()
         results = self.metric_tracker.to_json()
         results.update(_tokenizer_fallback_flags(self.test_set))
@@ -351,6 +360,13 @@ class PredictorEvaluator:
         self.eval_step = eval_step
 
     def evaluate(self) -> dict:
+        """Set TEXTOCVP_PROFILE=<dir> to capture a jax.profiler trace of the
+        eval loop (same knob as the trainers)."""
+        import os as _os
+
+        profile_dir = _os.environ.get("TEXTOCVP_PROFILE")
+        if profile_dir:
+            jax.profiler.start_trace(profile_dir)
         step = 0
         pending = None  # accumulate batch i-1 while batch i computes
         for videos, others in _progress(self.test_loader, total=len(self.test_loader), desc="eval"):
@@ -370,6 +386,8 @@ class PredictorEvaluator:
             pending = {k: v[:b] for k, v in vals.items()}
         if pending is not None:
             self.metric_tracker.accumulate(precomputed=pending)
+        if profile_dir:
+            jax.profiler.stop_trace()
         self.metric_tracker.aggregate()
         results = self.metric_tracker.to_json()
         results.update(_tokenizer_fallback_flags(self.test_set))
