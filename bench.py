@@ -30,6 +30,13 @@ import time
 
 REF_GPU_FPS = 250.0  # estimated reference GPU predicted-frames/sec/chip
 
+# Measured on identical CPU silicon with identical weights: reference torch
+# modules 0.8 fps vs this repo 10.7 fps, batch 4, 19-pred rollout
+# (scripts/ground_baseline.py; BASELINE.md "Grounding the relative-throughput
+# claim"). This is the defensible hardware-held-constant ratio; REF_GPU_FPS
+# remains an estimate until GPU hardware + released ckpts exist.
+MEASURED_CPU_SPEEDUP = 13.9
+
 
 def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pallas: bool):
     import jax
@@ -177,10 +184,9 @@ def main():
         "unit": "frames/s/chip",
         "vs_baseline": round(fps_per_chip / REF_GPU_FPS, 3),
         # REF_GPU_FPS is an engineering estimate (the reference publishes no
-        # numbers; no GPU here). Grounding: on identical CPU silicon with
-        # identical weights, this implementation measures ~14x the reference's
-        # throughput (scripts/ground_baseline.py; BASELINE.md).
+        # numbers; no GPU here); the grounded number below is measured.
         "baseline_estimated": True,
+        "vs_baseline_measured_cpu_same_silicon": MEASURED_CPU_SPEEDUP,
     }))
 
 

@@ -108,6 +108,51 @@ def test_cater_npy_and_framedir_videos(tmp_path):
     assert c0 == "the snitch is rotating"
 
 
+def _cater_train_fixture(tmp_path, n_items=6, n_total=12):
+    """CATER train tree of .npy videos where frame t has constant pixel value
+    t*20 — the sampled start frame is readable off the loaded batch."""
+    root = tmp_path / "CATER" / "easy"
+    (root / "videos").mkdir(parents=True)
+    ann = {}
+    for i in range(n_items):
+        vid = np.broadcast_to(
+            (np.arange(n_total, dtype=np.uint8) * 20)[:, None, None, None],
+            (n_total, 8, 8, 3)).copy()
+        np.save(root / "videos" / f"v{i}.npy", vid)
+        ann[str(i)] = {"video": f"videos/v{i}.npy",
+                       "caption": "the snitch is rotating"}
+    with open(root / "train_explicit.json", "w") as f:
+        json.dump(ann, f)
+    return tmp_path / "CATER"
+
+
+@pytest.mark.parametrize("worker_type", ["thread", "process"])
+def test_cater_random_start_deterministic_across_workers(tmp_path, worker_type):
+    """random_start sampling is a stateless (seed, epoch, idx) hash: two
+    8-worker loaders with the same seed produce identical epochs regardless of
+    worker schedule, and starts are re-sampled between epochs."""
+    from textocvp_tpu.data.datasets import CATER
+    from textocvp_tpu.data.loader import DataLoader
+
+    root = _cater_train_fixture(tmp_path)
+
+    def run_epochs(n_epochs):
+        ds = CATER(root=str(root), mode="easy", split="train",
+                   num_frames=4, img_size=(8, 8), random_start=True, seed=14)
+        loader = DataLoader(ds, batch_size=3, shuffle=False, num_workers=8,
+                            worker_type=worker_type, seed=14)
+        return [[np.asarray(v) for v, _ in loader] for _ in range(n_epochs)]
+
+    a = run_epochs(2)
+    b = run_epochs(2)
+    for ep_a, ep_b in zip(a, b):
+        assert len(ep_a) == len(ep_b)
+        for va, vb in zip(ep_a, ep_b):
+            np.testing.assert_array_equal(va, vb)
+    # shuffle=False, so any epoch-0 vs epoch-1 difference is start re-sampling
+    assert any(not np.array_equal(va, vb) for va, vb in zip(a[0], a[1]))
+
+
 def test_cater_annotations_and_vocab(tmp_path):
     from textocvp_tpu.data.datasets import CATER
     from textocvp_tpu.data.vocabularies import CATER_HARD_VOCAB

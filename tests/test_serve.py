@@ -106,6 +106,8 @@ def test_predict_shapes_and_padding(service):
 
 def test_predict_validates_request(service):
     frames = np.zeros((1, 1, RES, RES, 3), np.float32)
+    with pytest.raises(ValueError, match="empty request"):
+        service.predict(np.zeros((0, 1, RES, RES, 3), np.float32), [])
     with pytest.raises(ValueError):
         service.predict(np.zeros((3, 1, RES, RES, 3), np.float32), ["the"] * 3)
     with pytest.raises(ValueError):

@@ -90,3 +90,24 @@ def test_frozen_encoder_not_updated(dinosaur_exp):
     sa1 = jax.tree_util.tree_leaves(ck1["params"]["slot_attention"])
     sa2 = jax.tree_util.tree_leaves(ck2["params"]["slot_attention"])
     assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(sa1, sa2))
+
+
+def test_predictor_eval_requires_image_reconstruction(tmp_path):
+    """An ExtendedDINOSAUR experiment with reconstruct_images disabled has no
+    RGB frames to compare — PredictorEvaluator (and FigGenerator via
+    inheritance) must fail fast with the same clear message as serving."""
+    import pytest
+
+    exp = Experiment.create(tmp_path / "exp_nofr", "ExtendedDINOSAUR", "Synthetic")
+    params = exp.params
+    params["model"]["model_params"]["decoder"]["decoder_params"][
+        "reconstruct_images"] = False
+    exp.save_params(params)
+    pred_exp = Experiment.create_predictor(exp.exp_path, "p", "TextOCVP_CustomTF",
+                                           require_parent_ckpt=False)
+    assert pred_exp.params_path.exists()
+
+    from textocvp_tpu.train.evaluator import PredictorEvaluator
+
+    with pytest.raises(ValueError, match="reconstruct_images"):
+        PredictorEvaluator(exp.exp_path, "p", "ck_decomp", "ck_pred")

@@ -30,16 +30,52 @@ def _enable_compilation_cache():
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if not cache_dir:
         return
+    # Parse the threshold BEFORE touching jax.config so a malformed env value
+    # warns instead of leaving the config half-applied.
+    min_secs = None
+    raw = os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS")
+    if raw is not None:
+        try:
+            min_secs = float(raw)
+        except ValueError:
+            import warnings
+
+            warnings.warn(
+                "ignoring unparseable "
+                f"JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS={raw!r}")
     try:
         import jax
 
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        min_secs = os.environ.get("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS")
         if min_secs is not None:
             jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                              float(min_secs))
+                              min_secs)
     except Exception:  # jax absent/old: the cache is an optimization only
         pass
 
 
+def _honor_jax_platforms_env():
+    """Re-assert JAX_PLATFORMS over any in-process override.
+
+    Some runtimes register a TPU plugin from ``sitecustomize`` and call
+    ``jax.config.update("jax_platforms", ...)`` at interpreter start, which
+    silently wins over the user's ``JAX_PLATFORMS`` env var — so e.g.
+    ``JAX_PLATFORMS=cpu python src/02_train_decomp.py`` would still run on the
+    remote TPU. Applying the env var via config.update (before any device
+    query) restores the documented env-var semantics for every CLI entry."""
+    import os
+
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if not platforms:
+        return
+    try:
+        import jax
+
+        if jax.config.jax_platforms != platforms:
+            jax.config.update("jax_platforms", platforms)
+    except Exception:  # jax absent/old: nothing to re-assert
+        pass
+
+
 _enable_compilation_cache()
+_honor_jax_platforms_env()

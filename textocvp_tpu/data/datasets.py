@@ -25,6 +25,17 @@ from textocvp_tpu.data.vocabularies import (
 )
 
 
+def _random_start(seed: int, epoch: int, idx: int, n_choices: int) -> int:
+    """Deterministic per-(seed, epoch, item) start-frame draw in [0, n_choices).
+
+    Stateless by design: loader workers (threads OR processes) call
+    ``__getitem__`` concurrently, and a shared ``np.random.Generator`` is not
+    thread-safe — this hash keeps start sampling reproducible under any
+    worker schedule while still re-sampling every epoch."""
+    rng = np.random.default_rng(np.random.SeedSequence([seed, epoch, idx]))
+    return int(rng.integers(0, n_choices))
+
+
 def _target_hw(h: int, w: int, size) -> tuple[int, int]:
     """Resize target: an int resizes the SHORTER side (torchvision
     transforms.Resize semantics); a tuple is exact."""
@@ -176,9 +187,14 @@ class CATER:
         self.num_frames = num_frames
         self.img_size = img_size if not isinstance(img_size, int) else (img_size, img_size)
         self.random_start = random_start
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch = 0
         with open(os.path.join(self.root, f"{split}_explicit.json")) as f:
             self.annotations = json.load(f)
+
+    def set_epoch(self, epoch: int):
+        """Advance the random-start stream (called by DataLoader each epoch)."""
+        self._epoch = int(epoch)
 
     def __len__(self) -> int:
         return len(self.annotations)
@@ -191,7 +207,8 @@ class CATER:
         # frames — mirror its start logic (fixed start = frame 1, Cater.py:137-141)
         if self.random_start and self.split == "train":
             n_total = _video_length(video_path)
-            start = int(self._rng.integers(0, n_total - self.num_frames + 1))
+            start = _random_start(self._seed, self._epoch, idx,
+                                  n_total - self.num_frames + 1)
         else:
             start = 1
         indices = np.arange(start, start + self.num_frames)
@@ -222,7 +239,8 @@ class CLIPort:
         self.num_frames = num_frames
         self.img_size = img_size
         self.random_start = random_start if split == "train" else False
-        self._rng = np.random.default_rng(seed)
+        self._seed = seed
+        self._epoch = 0
 
         self.episodes = sorted(
             (f for f in os.listdir(self.root)
@@ -236,6 +254,10 @@ class CLIPort:
         with open(path) as f:
             return f.read().strip()
 
+    def set_epoch(self, epoch: int):
+        """Advance the random-start stream (called by DataLoader each epoch)."""
+        self._epoch = int(epoch)
+
     def __len__(self) -> int:
         return len(self.episodes)
 
@@ -247,7 +269,8 @@ class CLIPort:
         if n < self.num_frames:
             raise ValueError(f"{self.num_frames} frames required but {n} available in {episode}")
         if self.random_start:
-            start = int(self._rng.integers(0, max(n - self.num_frames, 0) + 1))
+            start = _random_start(self._seed, self._epoch, idx,
+                                  max(n - self.num_frames, 0) + 1)
         else:
             start = 0
         frames = [

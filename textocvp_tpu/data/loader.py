@@ -157,6 +157,12 @@ class DataLoader:
         return videos, info
 
     def __iter__(self) -> Iterator:
+        # propagate the epoch BEFORE batches ship to workers so random-start
+        # sampling is deterministic per (seed, epoch, idx) under any worker
+        # schedule (process workers receive the dataset after this call)
+        set_epoch = getattr(self.dataset, "set_epoch", None)
+        if set_epoch is not None:
+            set_epoch(self._epoch)
         batches = self._batch_indices()
         self._epoch += 1
         if self.num_workers <= 0:

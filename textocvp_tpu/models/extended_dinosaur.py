@@ -125,7 +125,7 @@ class ExtendedDINOSAUR(nn.Module):
         }
         if decode:
             dec = self.decode(slot_history.reshape(b * t, self.num_slots, self.slot_dim),
-                              train=train)
+                              train=train, tail_chunks=tail_chunks)
             p, f = dec["recons_feats"].shape[1:]
             out["recons_feats"] = dec["recons_feats"].reshape(b, t, p, f)
             out["masks"] = dec["masks"].reshape(b, t, *dec["masks"].shape[1:])
@@ -136,4 +136,5 @@ class ExtendedDINOSAUR(nn.Module):
 
     def __call__(self, x, decode: bool = True, train: bool = False,
                  tail_chunks: int = 1):
-        return self.decompose(x, decode=decode, train=train)
+        return self.decompose(x, decode=decode, train=train,
+                              tail_chunks=tail_chunks)

@@ -29,6 +29,23 @@ def _use_pallas(exp_params: dict) -> bool:
     return bool((exp_params.get("tpu") or {}).get("use_pallas", False))
 
 
+def check_image_reconstruction(exp_params: dict, purpose: str = "evaluate"):
+    """Fail fast when an ExtendedDINOSAUR experiment cannot produce RGB frames.
+
+    An MLPPatchDecoder with ``reconstruct_images: false`` decodes ViT patch
+    features only, so prediction eval/fig-gen/serving (which compare or render
+    frames) have nothing to work with — raise a clear error instead of an
+    opaque reshape failure downstream."""
+    dp = exp_params["model"]["model_params"].get("decoder", {})
+    if (dp.get("decoder_name") == "MLPPatchDecoder"
+            and not dp.get("decoder_params", {}).get("reconstruct_images")):
+        raise ValueError(
+            "this experiment's MLPPatchDecoder has reconstruct_images "
+            "disabled — it decodes ViT patch features, not RGB frames, so "
+            f"there is nothing to {purpose}; retrain with reconstruct_images "
+            "or use a SAVi-decoder experiment")
+
+
 def setup_model(exp_params: dict):
     """Build the decomposition model module from experiment params
     (reference setup_model.py:22-53)."""

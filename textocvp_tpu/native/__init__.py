@@ -32,10 +32,15 @@ _load_failed = False
 
 
 def build(verbose: bool = False) -> bool:
-    """Compile imgio.cpp into the package directory. Returns True on success."""
+    """Compile imgio.cpp into the package directory. Returns True on success.
+
+    Compiles to a process-unique temp path and os.rename()s into place so
+    concurrent builders (e.g. DataLoader process workers) never dlopen a
+    partially written .so."""
+    tmp_path = f"{_LIB_PATH}.tmp{os.getpid()}"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        "-o", _LIB_PATH, _SRC, "-lpng", "-lz",
+        "-o", tmp_path, _SRC, "-lpng", "-lz",
     ]
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
@@ -44,7 +49,19 @@ def build(verbose: bool = False) -> bool:
     if res.returncode != 0:
         if verbose:
             print(res.stderr, file=sys.stderr)
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
         return False
+    try:
+        os.rename(tmp_path, _LIB_PATH)  # atomic on the same filesystem
+    except OSError:
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
+        return os.path.exists(_LIB_PATH)
     return True
 
 

@@ -122,6 +122,8 @@ class InferenceFrontend:
         if frames.dtype == np.uint8:
             frames = frames.astype(np.float32) / 255.0
         b = frames.shape[0]
+        if b < 1:
+            raise ValueError("empty request: at least one video is required")
         if b > self.batch_size:
             raise ValueError(
                 f"request batch {b} exceeds compiled batch {self.batch_size}")
@@ -191,14 +193,9 @@ class PredictionService(InferenceFrontend):
             res = (res, res)
         self.resolution = (int(res[0]), int(res[1]))
 
-        dp = self.exp_params["model"]["model_params"]["decoder"]
-        if (dp.get("decoder_name") == "MLPPatchDecoder"
-                and not dp.get("decoder_params", {}).get("reconstruct_images")):
-            raise ValueError(
-                "this experiment's MLPPatchDecoder has reconstruct_images "
-                "disabled — it decodes ViT patch features, not RGB frames, so "
-                "there is nothing to serve; retrain with reconstruct_images "
-                "or serve a SAVi-decoder experiment")
+        from textocvp_tpu.models.factory import check_image_reconstruction
+
+        check_image_reconstruction(self.exp_params, purpose="serve")
 
         # measured-fastest inference decode structure (PERFORMANCE.md)
         self.exp_params.setdefault("tpu", {})["fast_decode_expand"] = "gather"

@@ -162,28 +162,30 @@ class DecompEvaluator:
         profile_dir = _os.environ.get("TEXTOCVP_PROFILE")
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
-        step = 0
-        pending = None  # accumulate batch i-1 while batch i computes
-        for videos, others in _progress(self.test_loader, total=len(self.test_loader), desc="eval"):
-            step += 1
-            # pad ragged final batches to the data-axis multiple (stay sharded
-            # instead of replicating), then drop the padded rows from metrics.
-            # Multi-host: the loader already padded GLOBALLY (num_valid set).
-            if "num_valid" in others:
-                b = int(others["num_valid"])
-                batch = shard_batch(np.asarray(videos), self.mesh)
-            else:
-                padded, b = pad_batch(np.asarray(videos), self.mesh)
-                batch = shard_batch(jnp.asarray(padded), self.mesh)
-            rng = jax.random.fold_in(jax.random.PRNGKey(14), step)
-            vals = self.eval_step(batch, rng)
+        try:
+            step = 0
+            pending = None  # accumulate batch i-1 while batch i computes
+            for videos, others in _progress(self.test_loader, total=len(self.test_loader), desc="eval"):
+                step += 1
+                # pad ragged final batches to the data-axis multiple (stay sharded
+                # instead of replicating), then drop the padded rows from metrics.
+                # Multi-host: the loader already padded GLOBALLY (num_valid set).
+                if "num_valid" in others:
+                    b = int(others["num_valid"])
+                    batch = shard_batch(np.asarray(videos), self.mesh)
+                else:
+                    padded, b = pad_batch(np.asarray(videos), self.mesh)
+                    batch = shard_batch(jnp.asarray(padded), self.mesh)
+                rng = jax.random.fold_in(jax.random.PRNGKey(14), step)
+                vals = self.eval_step(batch, rng)
+                if pending is not None:
+                    self.metric_tracker.accumulate(precomputed=pending)
+                pending = {k: v[:b] for k, v in vals.items()}
             if pending is not None:
                 self.metric_tracker.accumulate(precomputed=pending)
-            pending = {k: v[:b] for k, v in vals.items()}
-        if pending is not None:
-            self.metric_tracker.accumulate(precomputed=pending)
-        if profile_dir:
-            jax.profiler.stop_trace()
+        finally:
+            if profile_dir:
+                jax.profiler.stop_trace()
         self.metric_tracker.aggregate()
         results = self.metric_tracker.to_json()
         results.update(_tokenizer_fallback_flags(self.test_set))
@@ -241,6 +243,10 @@ class PredictorEvaluator:
         )
         # inference-only: the gather-expand fuses best (no backward pass)
         self.exp_params.setdefault("tpu", {})["fast_decode_expand"] = "gather"
+        # fail fast (matches serve/pipeline.py): prediction metrics need frames
+        from textocvp_tpu.models.factory import check_image_reconstruction
+
+        check_image_reconstruction(self.exp_params, purpose="evaluate predictions on")
         maybe_initialize_distributed()
         self.mesh = get_runtime_mesh(self.exp_params.get("tpu"))
         self.decomp_model = setup_model(self.exp_params)
@@ -367,27 +373,29 @@ class PredictorEvaluator:
         profile_dir = _os.environ.get("TEXTOCVP_PROFILE")
         if profile_dir:
             jax.profiler.start_trace(profile_dir)
-        step = 0
-        pending = None  # accumulate batch i-1 while batch i computes
-        for videos, others in _progress(self.test_loader, total=len(self.test_loader), desc="eval"):
-            step += 1
-            if "num_valid" in others:  # loader padded globally (multi-host)
-                b = int(others["num_valid"])
-                videos_p, text_p = np.asarray(videos), _text_kwargs(others)
-            else:
-                (videos_p, text_p), b = pad_batch(
-                    (np.asarray(videos), _text_kwargs(others)), self.mesh)
-            batch = shard_batch(jnp.asarray(videos_p), self.mesh)
-            text_p = shard_batch(text_p, self.mesh)
-            rng = jax.random.fold_in(jax.random.PRNGKey(14), step)
-            vals, _ = self.eval_step(self.pred_params, batch, rng, **text_p)
+        try:
+            step = 0
+            pending = None  # accumulate batch i-1 while batch i computes
+            for videos, others in _progress(self.test_loader, total=len(self.test_loader), desc="eval"):
+                step += 1
+                if "num_valid" in others:  # loader padded globally (multi-host)
+                    b = int(others["num_valid"])
+                    videos_p, text_p = np.asarray(videos), _text_kwargs(others)
+                else:
+                    (videos_p, text_p), b = pad_batch(
+                        (np.asarray(videos), _text_kwargs(others)), self.mesh)
+                batch = shard_batch(jnp.asarray(videos_p), self.mesh)
+                text_p = shard_batch(text_p, self.mesh)
+                rng = jax.random.fold_in(jax.random.PRNGKey(14), step)
+                vals, _ = self.eval_step(self.pred_params, batch, rng, **text_p)
+                if pending is not None:
+                    self.metric_tracker.accumulate(precomputed=pending)
+                pending = {k: v[:b] for k, v in vals.items()}
             if pending is not None:
                 self.metric_tracker.accumulate(precomputed=pending)
-            pending = {k: v[:b] for k, v in vals.items()}
-        if pending is not None:
-            self.metric_tracker.accumulate(precomputed=pending)
-        if profile_dir:
-            jax.profiler.stop_trace()
+        finally:
+            if profile_dir:
+                jax.profiler.stop_trace()
         self.metric_tracker.aggregate()
         results = self.metric_tracker.to_json()
         results.update(_tokenizer_fallback_flags(self.test_set))
