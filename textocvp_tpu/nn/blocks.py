@@ -103,9 +103,15 @@ def upsample_nearest(x: jax.Array, scale: int) -> jax.Array:
 
 
 def upsample_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
-    """Bilinear resize for NHWC tensors (torch align_corners=False semantics)."""
+    """Bilinear resize for NHWC tensors (torch align_corners=False semantics).
+
+    antialias=False: torch's F.interpolate does not antialias by default, and
+    jax.image.resize does — on a DOWNSAMPLING resize (e.g. the MLPPatchDecoder
+    CNN head's 128->112 at patch_size=14) the filters differ well beyond 1e-4.
+    """
     return jax.image.resize(
-        x, (x.shape[0], out_hw[0], out_hw[1], x.shape[3]), method="bilinear"
+        x, (x.shape[0], out_hw[0], out_hw[1], x.shape[3]), method="bilinear",
+        antialias=False,
     )
 
 

@@ -240,7 +240,10 @@ def convert_extended_dinosaur(sd: dict, model_params: dict) -> dict:
 
     enc_name = model_params["encoder"]["encoder_name"]
     cfg = VIT_CONFIGS[enc_name]
-    depth = (model_params["encoder"]["encoder_params"].get("encoder_num_blocks")
+    enc_params = model_params["encoder"]["encoder_params"]
+    # same key precedence as nn/encoders.py get_encoder so a converted model
+    # always has the depth the runtime model will be built with
+    depth = (enc_params.get("num_blocks") or enc_params.get("encoder_num_blocks")
              or cfg["depth"])
     vit = ViTEncoder(
         img_size=model_params["img_size"], patch_size=cfg["patch_size"],
