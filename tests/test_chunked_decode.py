@@ -95,6 +95,28 @@ def test_chunked_under_jit_and_grad(tiny_savi):
         g_flat, g_chunk)
 
 
+def test_chunked_remat_grad_equals_flat(tiny_savi):
+    """The training form: scanned tail with per-chunk jax.checkpoint — the
+    backward recomputes each chunk but the gradients must equal the flat
+    decode's exactly (values too)."""
+    model, variables = tiny_savi
+    slots = jax.random.normal(jax.random.PRNGKey(5), (12, 4, 16))
+
+    def loss(v, s, chunks, remat):
+        out = model.apply(v, s, method="decode", tail_chunks=chunks,
+                          tail_remat=remat)
+        return jnp.mean(out["recons_imgs"] ** 2)
+
+    v_flat, g_flat = jax.value_and_grad(loss)(variables, slots, 1, False)
+    v_r, g_r = jax.jit(
+        jax.value_and_grad(lambda v, s: loss(v, s, 4, True)))(variables, slots)
+    np.testing.assert_allclose(float(v_r), float(v_flat), atol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-5),
+        g_flat, g_r)
+
+
 def test_const_bake_policy():
     from textocvp_tpu.models.chunked import (
         CONST_BAKE_LIMIT_BYTES, should_bake_constants, tree_bytes)

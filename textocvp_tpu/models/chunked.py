@@ -11,12 +11,14 @@ baseline; the flat-expand + scanned-tail form runs 228 ms).
 
 The scan itself is implemented in ConvDecoder.decode_broadcast
 (``tail_chunks``); this module holds the policy for choosing the chunk count.
-Chunking is exact — batch elements are independent — and is applied on the
-inference paths (bench.py, evaluators). Training keeps the flat decode:
-measured on v5e, the scanned tail's BACKWARD materializes stacked per-chunk
-residuals on top of the flat-path activations and the B=64 SAVi fwd+bwd
-fails HBM allocation (19.0 G needed vs 15.75 G) at tail_chunks=2, while the
-flat train step fits and runs 356 ms.
+Chunking is exact — batch elements are independent — and is applied by
+default on the inference paths (bench.py, evaluators). In TRAINING the
+scanned tail's plain BACKWARD materializes stacked per-chunk residuals on
+top of the flat-path activations and the B=64 SAVi fwd+bwd fails HBM
+allocation (19.0 G needed vs 15.75 G at tail_chunks=2); the opt-in
+``tpu.train_decode_chunks`` knob therefore pairs chunking with a per-chunk
+``jax.checkpoint`` (``tail_remat`` on the decode path) so the backward
+recomputes each chunk's tail instead of storing it.
 """
 
 from __future__ import annotations

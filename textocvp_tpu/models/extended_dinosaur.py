@@ -77,19 +77,21 @@ class ExtendedDINOSAUR(nn.Module):
         )
 
     # ------------------------------------------------------------------ decode
-    def decode(self, slots, train: bool = False, tail_chunks: int = 1):
+    def decode(self, slots, train: bool = False, tail_chunks: int = 1,
+               tail_remat: bool = False):
         """Slots (N, S, D) -> patch features, masks and optional images.
 
-        ``tail_chunks`` is accepted for call-site uniformity with SAVi.decode
-        but currently unused: the MLP patch decoder is matmul-shaped and does
-        not exhibit the flat-conv-batch scheduling pathology the chunked scan
-        works around (docs/PERFORMANCE.md "decode chunking")."""
-        del tail_chunks
+        ``tail_chunks``/``tail_remat`` are accepted for call-site uniformity
+        with SAVi.decode but currently unused: the MLP patch decoder is
+        matmul-shaped and does not exhibit the flat-conv-batch scheduling
+        pathology the chunked scan works around (docs/PERFORMANCE.md "decode
+        chunking")."""
+        del tail_chunks, tail_remat
         return self.patch_decoder(slots, train=train)
 
     # ------------------------------------------------------------------ decomp
     def decompose(self, x, decode: bool = True, train: bool = False,
-                  tail_chunks: int = 1):
+                  tail_chunks: int = 1, tail_remat: bool = False):
         """
         Video (B, T, H, W, C) in [0,1] -> slots + reconstructions.
 
@@ -125,7 +127,8 @@ class ExtendedDINOSAUR(nn.Module):
         }
         if decode:
             dec = self.decode(slot_history.reshape(b * t, self.num_slots, self.slot_dim),
-                              train=train, tail_chunks=tail_chunks)
+                              train=train, tail_chunks=tail_chunks,
+                              tail_remat=tail_remat)
             p, f = dec["recons_feats"].shape[1:]
             out["recons_feats"] = dec["recons_feats"].reshape(b, t, p, f)
             out["masks"] = dec["masks"].reshape(b, t, *dec["masks"].shape[1:])
@@ -135,6 +138,6 @@ class ExtendedDINOSAUR(nn.Module):
         return out
 
     def __call__(self, x, decode: bool = True, train: bool = False,
-                 tail_chunks: int = 1):
+                 tail_chunks: int = 1, tail_remat: bool = False):
         return self.decompose(x, decode=decode, train=train,
-                              tail_chunks=tail_chunks)
+                              tail_chunks=tail_chunks, tail_remat=tail_remat)

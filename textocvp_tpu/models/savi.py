@@ -109,7 +109,8 @@ class SAVi(nn.Module):
         return self.encoder_mlp(x)
 
     # ------------------------------------------------------------------ decode
-    def decode(self, slots, train: bool = False, tail_chunks: int = 1):
+    def decode(self, slots, train: bool = False, tail_chunks: int = 1,
+               tail_remat: bool = False):
         """
         Slots (N, S, D) -> spatial-broadcast decode
         (reference SAVi.py:241-275). Returns dict with recons_imgs (N, H, W, C),
@@ -122,7 +123,9 @@ class SAVi(nn.Module):
 
         ``tail_chunks > 1`` scans the decoder's tail convs over batch chunks
         (exact; large inference batches only — see ConvDecoder.decode_broadcast
-        and textocvp_tpu/models/chunked.py for the auto policy).
+        and textocvp_tpu/models/chunked.py for the auto policy);
+        ``tail_remat`` makes the scanned tail's backward recompute per chunk
+        (training-time chunking — ConvDecoder.decode_broadcast).
         """
         n, s, d = slots.shape
         h0, w0 = self.decoder_resolution
@@ -134,6 +137,7 @@ class SAVi(nn.Module):
                 train=train,
                 expand_impl=self.fast_decode_expand,
                 tail_chunks=tail_chunks,
+                tail_remat=tail_remat,
             )
         else:
             x = jnp.broadcast_to(slots[:, :, None, None, :], (n, s, h0, w0, d))
@@ -149,7 +153,7 @@ class SAVi(nn.Module):
 
     # ------------------------------------------------------------------ decomp
     def decompose(self, x, decode: bool = True, train: bool = False,
-                  tail_chunks: int = 1):
+                  tail_chunks: int = 1, tail_remat: bool = False):
         """
         Video (B, T, H, W, C) -> object slots (and reconstructions).
 
@@ -183,7 +187,8 @@ class SAVi(nn.Module):
         out = {"slot_history": slot_history, "attn_masks": jnp.stack(attn_hist, axis=1)}
         if decode:
             dec = self.decode(slot_history.reshape(b * t, self.num_slots, self.slot_dim),
-                              train=train, tail_chunks=tail_chunks)
+                              train=train, tail_chunks=tail_chunks,
+                              tail_remat=tail_remat)
             h, w = dec["recons_imgs"].shape[1:3]
             out["recons_imgs"] = dec["recons_imgs"].reshape(b, t, h, w, self.in_channels)
             out["recons_objs"] = dec["recons"].reshape(b, t, self.num_slots, h, w, self.in_channels)
@@ -191,6 +196,6 @@ class SAVi(nn.Module):
         return out
 
     def __call__(self, x, decode: bool = True, train: bool = False,
-                 tail_chunks: int = 1):
+                 tail_chunks: int = 1, tail_remat: bool = False):
         return self.decompose(x, decode=decode, train=train,
-                              tail_chunks=tail_chunks)
+                              tail_chunks=tail_chunks, tail_remat=tail_remat)

@@ -11,6 +11,7 @@ frames at once), keeping the MXU busy with one large call.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -88,7 +89,8 @@ class ConvDecoder(nn.Module):
         return self.final_conv(x)
 
     def decode_broadcast(self, slots, pos_map, resolution, train: bool = False,
-                         expand_impl: str = "concat", tail_chunks: int = 1):
+                         expand_impl: str = "concat", tail_chunks: int = 1,
+                         tail_remat: bool = False):
         """
         slots: (N, D) spatially-constant content; pos_map: (H0, W0, D) the
         positional projection added to the broadcast. Equivalent to
@@ -110,6 +112,12 @@ class ConvDecoder(nn.Module):
         (broadcast/gather ops inside a scan body compile to a pathological
         schedule on the current toolchain — measured 4-6x slower). Ignored
         when it does not divide the batch.
+
+        ``tail_remat`` wraps the scan body in ``jax.checkpoint`` so the
+        backward pass recomputes each chunk's tail activations instead of
+        materializing them for all chunks at once — required to use chunking
+        in TRAINING, where the stacked per-chunk residuals otherwise blow HBM
+        (19.0 G vs 15.75 G at the B=64 SAVi step, models/chunked.py).
         """
         h, w = resolution
         pad = self.kernel_size // 2
@@ -154,10 +162,10 @@ class ConvDecoder(nn.Module):
 
         if (tail_chunks > 1 and x.shape[0] % tail_chunks == 0
                 and not self.is_initializing()):
-            return self._tail_scanned(x, tail_chunks)
+            return self._tail_scanned(x, tail_chunks, remat=tail_remat)
         return self._tail(x, train=train)
 
-    def _tail_scanned(self, x, tail_chunks: int):
+    def _tail_scanned(self, x, tail_chunks: int, remat: bool = False):
         """``_tail`` as a raw ``lax.scan`` over batch chunks, with the conv
         params pulled from the bound submodules and applied functionally.
 
@@ -198,8 +206,18 @@ class ConvDecoder(nn.Module):
                     xc = upsample_nearest(xc, up)
             return apply_conv(xc, fp["kernel"], fp["bias"], 1)
 
+        if remat:
+            # backward recomputes each chunk's tail instead of storing every
+            # chunk's conv activations — makes chunking HBM-viable in training
+            tail_fn = jax.checkpoint(tail_fn)
+
         chunks = x.reshape(tail_chunks, x.shape[0] // tail_chunks, *x.shape[1:])
-        _, y = jax.lax.scan(lambda c, xc: (c, tail_fn(xc)), (), chunks)
+        # TEXTOCVP_TAIL_UNROLL is a perf-probe knob (bench_decode_probe.py):
+        # unrolling the scan lets XLA software-pipeline consecutive chunk
+        # bodies. Read at trace time; default 1 = the measured-best plain scan.
+        unroll = int(os.environ.get("TEXTOCVP_TAIL_UNROLL", "1"))
+        _, y = jax.lax.scan(lambda c, xc: (c, tail_fn(xc)), (), chunks,
+                            unroll=unroll)
         return y.reshape(x.shape[0], *y.shape[2:])
 
 

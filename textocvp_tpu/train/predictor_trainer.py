@@ -106,7 +106,11 @@ class PredictorTrainer:
         # frozen decomposition model from the PARENT experiment
         # (reference basePredictorTrainer.py:111-144)
         init_rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
-        variables = self.decomp_model.init(init_rngs, videos, decode=True, train=False)
+        # jit the inits/applies here: eager flax init dispatches thousands of
+        # tiny ops — pathologically slow over remote-attached device transports
+        variables = jax.jit(
+            lambda r, x: self.decomp_model.init(r, x, decode=True, train=False)
+        )(init_rngs, videos)
         decomp_target = {
             "params": variables["params"],
             "batch_stats": variables.get("batch_stats", {}) or {},
@@ -123,15 +127,16 @@ class PredictorTrainer:
         )
         del decomp_target
 
-        # predictor init
-        slot_sample = self.decomp_model.apply(
-            {"params": self.decomp_params["params"]}, videos, decode=False,
-            rngs={"slots": jax.random.PRNGKey(2)},
-        )["slot_history"]
+        # predictor init (jitted — see the init note above)
+        slot_sample = jax.jit(
+            lambda p, x, key: self.decomp_model.apply(
+                {"params": p}, x, decode=False, rngs={"slots": key})
+        )(self.decomp_params["params"], videos,
+          jax.random.PRNGKey(2))["slot_history"]
         text_kwargs = {k: v[:1] for k, v in _text_kwargs(sample_text or {}).items()}
-        pred_vars = self.predictor.init(
-            {"params": jax.random.PRNGKey(3)}, slot_sample, **text_kwargs
-        )
+        pred_vars = jax.jit(
+            lambda r, s, tk: self.predictor.init(r, s, **tk)
+        )({"params": jax.random.PRNGKey(3)}, slot_sample, text_kwargs)
         self.params = pred_vars["params"]
         self._place_params()
 
@@ -182,6 +187,23 @@ class PredictorTrainer:
                 v["batch_stats"] = decomp_params["batch_stats"]
             return v
 
+        # train-time decode chunking (tpu.train_decode_chunks): the scanned
+        # conv tail with a per-chunk-remat backward. Only SAVi's conv decoder
+        # exhibits the flat-conv-batch pathology; the MLP patch decoder
+        # ignores tail_chunks by design (models/chunked.py).
+        train_chunks_cfg = (self.exp_params.get("tpu") or {}).get(
+            "train_decode_chunks")
+        model_name = self.exp_params["model"]["model_name"]
+
+        def _decode_kwargs(b: int) -> dict:
+            if train_chunks_cfg in (None, 0, 1) or model_name != "SAVi":
+                return {}
+            from textocvp_tpu.models.chunked import resolve_tail_chunks
+
+            chunks = resolve_tail_chunks(train_chunks_cfg, b * p, num_slots)
+            return ({"tail_chunks": chunks, "tail_remat": True}
+                    if chunks > 1 else {})
+
         def forward_loss(params, videos, rng, text_kwargs, tf: bool):
             videos = videos[:, : c + p]
             b = videos.shape[0]
@@ -194,7 +216,7 @@ class PredictorTrainer:
             )
             dec = decomp_model.apply(
                 decomp_vars(), pred_slots.reshape(b * p, num_slots, slot_dim),
-                method="decode",
+                method="decode", **_decode_kwargs(b),
             )
             pred_imgs = dec["recons_imgs"]
             target_imgs = videos[:, c : c + p]

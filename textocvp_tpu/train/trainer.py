@@ -103,7 +103,11 @@ class DecompTrainer:
     def setup_model(self, sample_videos: np.ndarray):
         """Initialize params (or restore a checkpoint) and build the jitted steps."""
         init_rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
-        variables = self.model.init(init_rngs, jnp.asarray(sample_videos[:1]), train=False)
+        # jit the init: eager flax init dispatches thousands of tiny ops,
+        # which is pathologically slow over remote-attached device transports
+        variables = jax.jit(
+            lambda r, x: self.model.init(r, x, train=False)
+        )(init_rngs, jnp.asarray(sample_videos[:1]))
         params = variables["params"]
         self.batch_stats = variables.get("batch_stats", None)
 
@@ -157,16 +161,36 @@ class DecompTrainer:
         # activation memory — needed for ExtendedDINOSAUR at 336px with large
         # batches (tpu.remat in experiment params)
         use_remat = bool((self.exp_params.get("tpu") or {}).get("remat", False))
+        # train-time decode chunking: the scanned tail with a per-chunk-remat
+        # backward ("auto"/int via tpu.train_decode_chunks). Only SAVi's conv
+        # decoder benefits (the flat-conv-batch pathology); the MLP patch
+        # decoder ignores tail_chunks by design.
+        train_chunks_cfg = (self.exp_params.get("tpu") or {}).get(
+            "train_decode_chunks")
+
+        def _train_chunks(videos) -> int:
+            if train_chunks_cfg in (None, 0, 1) or self.model_name != "SAVi":
+                return 1
+            from textocvp_tpu.models.chunked import resolve_tail_chunks
+
+            n_rows = videos.shape[0] * videos.shape[1]
+            num_slots = self.exp_params["model"]["model_params"]["num_slots"]
+            return resolve_tail_chunks(train_chunks_cfg, n_rows, num_slots)
 
         def forward(params, batch_stats, videos, rng, train: bool):
             variables = {"params": params}
+            chunks = _train_chunks(videos)
+            kwargs = ({"tail_chunks": chunks, "tail_remat": True}
+                      if chunks > 1 else {})
             if has_bn:
                 variables["batch_stats"] = batch_stats
             if train and has_bn:
                 out, mut = model.apply(variables, videos, train=True,
-                                       rngs={"slots": rng}, mutable=["batch_stats"])
+                                       rngs={"slots": rng}, mutable=["batch_stats"],
+                                       **kwargs)
                 return out, mut.get("batch_stats")
-            out = model.apply(variables, videos, train=False, rngs={"slots": rng})
+            out = model.apply(variables, videos, train=False, rngs={"slots": rng},
+                              **kwargs)
             return out, batch_stats
 
         @partial(jax.jit, donate_argnums=(0, 1, 2))
