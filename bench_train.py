@@ -88,7 +88,8 @@ def bench_savi(tmp, batch, iters, dtype, train_decode_chunks):
     }
 
 
-def bench_pred(tmp, batch, iters, dtype, train_decode_chunks=None):
+def bench_pred(tmp, batch, iters, dtype, train_decode_chunks=None,
+               remat=False):
     import jax
     import jax.numpy as jnp
 
@@ -119,6 +120,8 @@ def bench_pred(tmp, batch, iters, dtype, train_decode_chunks=None):
     qp.setdefault("tpu", {})["compute_dtype"] = dtype
     if train_decode_chunks:
         qp["tpu"]["train_decode_chunks"] = train_decode_chunks
+    if remat:
+        qp["tpu"]["remat"] = True
     pred_exp.save_params(qp)
 
     tr = PredictorTrainer(pred_exp.exp_path, decomp_ckpt="bench_decomp")
@@ -152,7 +155,8 @@ def bench_pred(tmp, batch, iters, dtype, train_decode_chunks=None):
     return {
         "metric": f"predictor_train_step_ms (B={batch}, c={c}, p={p_}, "
                   f"TextOCVP_T5, {dtype}, "
-                  f"decode_chunks={train_decode_chunks or 'off'})",
+                  f"decode_chunks={train_decode_chunks or 'off'}"
+                  f"{', remat' if remat else ''})",
         "value": round(ms, 2), "unit": "ms/step",
         "pred_frames_per_sec": round(batch * p_ / (ms / 1000), 1),
     }
@@ -216,6 +220,8 @@ def main():
                         choices=["float32", "bfloat16"])
     parser.add_argument("--train-decode-chunks", default=None,
                         help="savi/pred: 'auto' or an int (tpu.train_decode_chunks)")
+    parser.add_argument("--remat", action="store_true", default=False,
+                        help="pred: set tpu.remat (rollout+decode recomputed in backward)")
     args = parser.parse_args()
 
     import jax
@@ -230,7 +236,7 @@ def main():
                                 args.dtype, chunks)
         elif args.workload == "pred":
             result = bench_pred(tmp, args.batch_size or 64, args.iters,
-                                args.dtype, chunks)
+                                args.dtype, chunks, remat=args.remat)
         else:
             result = bench_dinosaur(tmp, args.batch_size or 16, args.iters,
                                     args.dtype)

@@ -8,7 +8,11 @@ import pytest
 
 from textocvp_tpu.core.config import build_exp_params
 from textocvp_tpu.models import setup_model
-from textocvp_tpu.models.chunked import pick_tail_chunks, resolve_tail_chunks
+from textocvp_tpu.models.chunked import (
+    pick_tail_chunks,
+    pick_tail_unroll,
+    resolve_tail_chunks,
+)
 
 
 def test_pick_tail_chunks_policy():
@@ -26,6 +30,12 @@ def test_pick_tail_chunks_policy():
     assert resolve_tail_chunks(None, 1216, 8) == 4
     assert resolve_tail_chunks(4, 1216, 8) == 4
     assert resolve_tail_chunks(0, 1216, 8) == 1
+    # unroll: only the fully-unrolled 4-chunk form measured a win (v5e grid
+    # in models/chunked.py); remat (training) always stays rolled
+    assert pick_tail_unroll(4) == 4
+    assert pick_tail_unroll(2) == 1
+    assert pick_tail_unroll(8) == 1
+    assert pick_tail_unroll(4, remat=True) == 1
 
 
 @pytest.fixture(scope="module")

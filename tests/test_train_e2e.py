@@ -101,6 +101,36 @@ def test_predictor_training_checkpoints(trained_predictor):
     assert "checkpoint_epoch_final" in names
 
 
+def test_train_decode_chunks_step_matches_flat(tmp_path_factory):
+    """tpu.train_decode_chunks wires the scanned+remat decode tail into the
+    jitted SAVi train step; one step from identical init/batch/rng must match
+    the flat-decode step's losses (the decode is exact either way)."""
+    import jax
+    import jax.numpy as jnp
+
+    from textocvp_tpu.train.trainer import DecompTrainer
+
+    tmp_path = tmp_path_factory.mktemp("chunked_train")
+    videos = np.random.default_rng(0).uniform(
+        0, 1, (4, 4, 16, 16, 3)).astype(np.float32)
+    rng = jax.random.PRNGKey(3)
+
+    losses = {}
+    for chunks in (None, 2):  # None -> flat; 2 divides the 16-row decode batch
+        exp = _tiny_exp(tmp_path, name=f"exp_c{chunks or 0}")
+        if chunks:
+            params = exp.params
+            params.setdefault("tpu", {})["train_decode_chunks"] = chunks
+            exp.save_params(params)
+        tr = DecompTrainer(exp.exp_path)
+        tr.setup_model(videos)
+        _, _, _, values = tr.train_step(
+            tr.params, tr.batch_stats, tr.opt_state, jnp.asarray(videos), rng)
+        losses[chunks] = float(values["_total"])
+    assert np.isfinite(losses[2])
+    np.testing.assert_allclose(losses[2], losses[None], rtol=1e-5)
+
+
 def test_decomp_fig_generation(trained_exp):
     from textocvp_tpu.train.fig_generation import DecompFigGenerator
 

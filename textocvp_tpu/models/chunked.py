@@ -18,7 +18,11 @@ top of the flat-path activations and the B=64 SAVi fwd+bwd fails HBM
 allocation (19.0 G needed vs 15.75 G at tail_chunks=2); the opt-in
 ``tpu.train_decode_chunks`` knob therefore pairs chunking with a per-chunk
 ``jax.checkpoint`` (``tail_remat`` on the decode path) so the backward
-recomputes each chunk's tail instead of storing it.
+recomputes each chunk's tail instead of storing it. Measured on v5e
+(bench_train.py, B=64 SAVi): the remat form FITS but runs 934 ms vs 417 ms
+flat — the scan-with-remat backward schedules pathologically — so training
+keeps the flat decode by default and the knob exists for memory-limited
+configs only (docs/PERFORMANCE.md "training side").
 """
 
 from __future__ import annotations
@@ -56,6 +60,26 @@ def resolve_tail_chunks(config_value, n_rows: int, num_slots: int) -> int:
     if config_value in (None, "auto"):
         return pick_tail_chunks(n_rows, num_slots)
     return max(1, int(config_value))
+
+
+def pick_tail_unroll(tail_chunks: int, remat: bool = False) -> int:
+    """Scan-unroll factor for the chunked decoder tail (inference only).
+
+    Measured grid at the flagship decode shape (9728 conv frames, v5e,
+    bench_decode_probe.py, 10-20 iteration averages):
+
+        chunks=2: unroll 1/2/4 -> 218.8 / 271.6 / 271.5 ms
+        chunks=4: unroll 1/2/4 -> 215.8 / 234.2 / 205.9 ms   <- only win
+        chunks=8: unroll 1/2/4 -> 224.7 / 251.4 / 248.0 ms
+
+    Only the FULLY-unrolled 4-chunk form beats the rolled scan (confirmed at
+    20 iters: 204.2 vs 214.1 ms; flagship end-to-end 4283 -> 4434
+    frames/s/chip). Everything else regresses, so the policy is exactly
+    that data point. Remat (training) keeps unroll=1 — unrolling a
+    rematerialized body just multiplies program size."""
+    if remat:
+        return 1
+    return 4 if tail_chunks == 4 else 1
 
 
 # Baking frozen weights into the executable as jit constants is another

@@ -212,10 +212,14 @@ class ConvDecoder(nn.Module):
             tail_fn = jax.checkpoint(tail_fn)
 
         chunks = x.reshape(tail_chunks, x.shape[0] // tail_chunks, *x.shape[1:])
-        # TEXTOCVP_TAIL_UNROLL is a perf-probe knob (bench_decode_probe.py):
-        # unrolling the scan lets XLA software-pipeline consecutive chunk
-        # bodies. Read at trace time; default 1 = the measured-best plain scan.
-        unroll = int(os.environ.get("TEXTOCVP_TAIL_UNROLL", "1"))
+        # Unroll policy: only the fully-unrolled 4-chunk form beats the
+        # rolled scan on v5e (models/chunked.py::pick_tail_unroll has the
+        # measured grid). TEXTOCVP_TAIL_UNROLL overrides for perf probes
+        # (bench_decode_probe.py); read at trace time.
+        from textocvp_tpu.models.chunked import pick_tail_unroll
+
+        env = os.environ.get("TEXTOCVP_TAIL_UNROLL")
+        unroll = int(env) if env else pick_tail_unroll(tail_chunks, remat)
         _, y = jax.lax.scan(lambda c, xc: (c, tail_fn(xc)), (), chunks,
                             unroll=unroll)
         return y.reshape(x.shape[0], *y.shape[2:])

@@ -188,9 +188,10 @@ class PredictorTrainer:
             return v
 
         # train-time decode chunking (tpu.train_decode_chunks): the scanned
-        # conv tail with a per-chunk-remat backward. Only SAVi's conv decoder
-        # exhibits the flat-conv-batch pathology; the MLP patch decoder
-        # ignores tail_chunks by design (models/chunked.py).
+        # conv tail with a per-chunk-remat backward. Measured NEGATIVE for
+        # speed on v5e at the SAVi decomp step (934 vs 417 ms, B=64) — a
+        # memory knob, not a throughput one (models/chunked.py). Only SAVi's
+        # conv decoder is affected; the MLP patch decoder ignores tail_chunks.
         train_chunks_cfg = (self.exp_params.get("tpu") or {}).get(
             "train_decode_chunks")
         model_name = self.exp_params["model"]["model_name"]

@@ -162,9 +162,10 @@ class DecompTrainer:
         # batches (tpu.remat in experiment params)
         use_remat = bool((self.exp_params.get("tpu") or {}).get("remat", False))
         # train-time decode chunking: the scanned tail with a per-chunk-remat
-        # backward ("auto"/int via tpu.train_decode_chunks). Only SAVi's conv
-        # decoder benefits (the flat-conv-batch pathology); the MLP patch
-        # decoder ignores tail_chunks by design.
+        # backward ("auto"/int via tpu.train_decode_chunks). Measured NEGATIVE
+        # for speed on v5e (934 vs 417 ms at the B=64 SAVi step — the
+        # scan-with-remat backward schedules pathologically); the knob exists
+        # for memory-limited configs, not throughput (models/chunked.py).
         train_chunks_cfg = (self.exp_params.get("tpu") or {}).get(
             "train_decode_chunks")
 
