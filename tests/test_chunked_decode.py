@@ -38,6 +38,20 @@ def test_pick_tail_chunks_policy():
     assert pick_tail_unroll(4, remat=True) == 1
 
 
+def test_decode_candidate_schedules():
+    from textocvp_tpu.models.chunked import decode_candidate_schedules
+
+    # flagship shape: policy pick + rolled + fully-unrolled + neighbors,
+    # no duplicates, all chunk counts divide n_rows
+    cands = decode_candidate_schedules(1216, 8)
+    assert cands[0] == (4, 4)            # static policy first
+    assert (4, 1) in cands and (8, 1) in cands and (2, 1) in cands
+    assert len(cands) == len(set(cands))
+    assert all(c == 1 or 1216 % c == 0 for c, _ in cands)
+    # tiny shape: flat + one chunked probe
+    assert decode_candidate_schedules(24, 3) == [(1, 1), (2, 1)]
+
+
 @pytest.fixture(scope="module")
 def tiny_savi():
     exp_params = build_exp_params("SAVi", "CATER_Easy")

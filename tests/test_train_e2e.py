@@ -73,6 +73,29 @@ def test_decomp_evaluation(trained_exp):
     assert saved["psnr"]["mean"] == results["psnr"]["mean"]
 
 
+def test_decomp_evaluation_autotune(trained_exp, capsys):
+    """tpu.decode_autotune measures the candidate (chunks, unroll) decode
+    schedules on the first batch and reuses the winner; metrics must match
+    the static-policy eval exactly (the decode is exact for every schedule)."""
+    from textocvp_tpu.train.evaluator import DecompEvaluator
+
+    ref = DecompEvaluator(trained_exp.exp_path, "checkpoint_epoch_final",
+                          batch_size=8, metrics=("psnr",))
+    ev = DecompEvaluator(trained_exp.exp_path, "checkpoint_epoch_final",
+                         batch_size=8, metrics=("psnr",))
+    ev.exp_params.setdefault("tpu", {})["decode_autotune"] = True
+    for e in (ref, ev):
+        e.load_data()
+        videos, _ = next(iter(e.test_loader))
+        e.load_model(videos)
+    expected = ref.evaluate()
+    results = ev.evaluate()
+    out = capsys.readouterr().out
+    assert "autotune picked" in out
+    np.testing.assert_allclose(results["psnr"]["mean"], expected["psnr"]["mean"],
+                               rtol=1e-6)
+
+
 @pytest.fixture(scope="module")
 def trained_predictor(trained_exp):
     pred_exp = Experiment.create_predictor(
@@ -193,3 +216,21 @@ def test_predictor_evaluation_one_program(trained_exp, trained_predictor):
     results = ev.evaluate()
     assert np.isfinite(results["psnr"]["mean"])
     assert len(results["psnr"]["framewise"]) == 3
+
+
+def test_predictor_evaluation_autotune(trained_exp, trained_predictor, capsys):
+    """tpu.decode_autotune on the predictor eval's decode+metrics stage."""
+    from textocvp_tpu.train.evaluator import PredictorEvaluator
+
+    ev = PredictorEvaluator(
+        trained_exp.exp_path, "pred_tiny",
+        decomp_ckpt="checkpoint_epoch_final", pred_ckpt="checkpoint_epoch_final",
+        num_seed=1, num_preds=3, batch_size=8, metrics=("psnr",),
+    )
+    ev.exp_params.setdefault("tpu", {})["decode_autotune"] = True
+    ev.load_data()
+    videos, others = next(iter(ev.test_loader))
+    ev.load_models(videos, others)
+    results = ev.evaluate()
+    assert "autotune picked" in capsys.readouterr().out
+    assert np.isfinite(results["psnr"]["mean"])

@@ -1,0 +1,69 @@
+"""Runtime decode-schedule autotuner (``tpu.decode_autotune``).
+
+The measured-best (chunk, unroll) schedule for the scanned decoder tail is
+shape-dependent and non-monotonic on the current toolchain (the full grid is
+in docs/PERFORMANCE.md "decode scheduling probe" — e.g. only the
+fully-unrolled 4-chunk form wins at the flagship shape while every other
+unroll regresses). The static policy in :mod:`textocvp_tpu.models.chunked`
+encodes the measured points; for OTHER shapes, the opt-in autotuner measures
+a small candidate set live on the first batch and uses the winner for the
+rest of the run.
+
+Cost model: each candidate is one extra compile of the decode stage (~1-2 min
+on the remote-compiled TPU runtime, amortized by the persistent compilation
+cache on reruns) plus ~``iters`` timed dispatches. That is why it is opt-in:
+worth it for long evals and serving, not for one-batch smoke runs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence
+
+
+def measure_variants(
+    variants: Sequence[tuple],
+    run_args: tuple,
+    sync: Callable,
+    iters: int = 3,
+    log: Callable = print,
+):
+    """Time ``variants`` of a jitted stage and return the fastest.
+
+    ``variants``: sequence of (label, fn). Each fn is called as
+    ``fn(*run_args)``; ``sync(out)`` must force completion on-device (on
+    remote-attached runtimes ``block_until_ready`` can return early, so sync
+    should fetch a small result to the host). The first call per variant
+    compiles and is untimed; the next ``iters`` calls are dispatched
+    back-to-back and synced once.
+    """
+    best_fn, best_label, best_ms = None, None, float("inf")
+    for label, fn in variants:
+        out = fn(*run_args)
+        sync(out)  # compile + first run, untimed
+        t0 = time.perf_counter()
+        outs = [fn(*run_args) for _ in range(iters)]
+        for o in outs:
+            sync(o)
+        ms = 1000 * (time.perf_counter() - t0) / iters
+        log(f"  autotune {label}: {ms:.1f} ms")
+        if ms < best_ms:
+            best_fn, best_label, best_ms = fn, label, ms
+    log(f"  autotune picked {best_label} ({best_ms:.1f} ms)")
+    return best_fn
+
+
+def lazy_autotuned(build_variants: Callable, sync: Callable,
+                   iters: int = 3, log: Callable = print):
+    """Wrap a stage so the first call autotunes and later calls reuse the
+    winner. ``build_variants(*args)`` returns [(label, fn), ...] for the
+    actual first-batch arguments (shapes are only known then)."""
+    state = {}
+
+    def stage(*args):
+        if "fn" not in state:
+            state["fn"] = measure_variants(
+                build_variants(*args), args, sync, iters=iters, log=log)
+        return state["fn"](*args)
+
+    return stage

@@ -82,6 +82,28 @@ def pick_tail_unroll(tail_chunks: int, remat: bool = False) -> int:
     return 4 if tail_chunks == 4 else 1
 
 
+def decode_candidate_schedules(n_rows: int, num_slots: int):
+    """Candidate (tail_chunks, tail_unroll) pairs for the runtime decode
+    autotuner (``tpu.decode_autotune``): the static policy pick, its fully
+    unrolled form, and the neighboring chunk counts. Small, because each
+    candidate costs one compile of the decode stage."""
+    c0 = pick_tail_chunks(n_rows, num_slots)
+    cands = []
+
+    def add(c: int, u: int):
+        if c >= 1 and (c == 1 or n_rows % c == 0) and (c, u) not in cands:
+            cands.append((c, u))
+
+    add(c0, pick_tail_unroll(c0))
+    add(c0, 1)                       # rolled scan
+    add(c0, c0)                      # fully unrolled
+    add(c0 * 2, 1)
+    add(max(1, c0 // 2), 1)
+    if c0 == 1:
+        add(2, 1)
+    return cands
+
+
 # Baking frozen weights into the executable as jit constants is another
 # measured 2.3x on the decode — but only for SMALL pytrees: the remote
 # compile service rejects oversized requests (HTTP 413 at ~hundreds of MB;

@@ -78,20 +78,21 @@ class ExtendedDINOSAUR(nn.Module):
 
     # ------------------------------------------------------------------ decode
     def decode(self, slots, train: bool = False, tail_chunks: int = 1,
-               tail_remat: bool = False):
+               tail_remat: bool = False, tail_unroll=None):
         """Slots (N, S, D) -> patch features, masks and optional images.
 
-        ``tail_chunks``/``tail_remat`` are accepted for call-site uniformity
+        ``tail_chunks``/``tail_remat``/``tail_unroll`` are accepted for call-site uniformity
         with SAVi.decode but currently unused: the MLP patch decoder is
         matmul-shaped and does not exhibit the flat-conv-batch scheduling
         pathology the chunked scan works around (docs/PERFORMANCE.md "decode
         chunking")."""
-        del tail_chunks, tail_remat
+        del tail_chunks, tail_remat, tail_unroll
         return self.patch_decoder(slots, train=train)
 
     # ------------------------------------------------------------------ decomp
     def decompose(self, x, decode: bool = True, train: bool = False,
-                  tail_chunks: int = 1, tail_remat: bool = False):
+                  tail_chunks: int = 1, tail_remat: bool = False,
+                  tail_unroll=None):
         """
         Video (B, T, H, W, C) in [0,1] -> slots + reconstructions.
 
@@ -128,7 +129,7 @@ class ExtendedDINOSAUR(nn.Module):
         if decode:
             dec = self.decode(slot_history.reshape(b * t, self.num_slots, self.slot_dim),
                               train=train, tail_chunks=tail_chunks,
-                              tail_remat=tail_remat)
+                              tail_remat=tail_remat, tail_unroll=tail_unroll)
             p, f = dec["recons_feats"].shape[1:]
             out["recons_feats"] = dec["recons_feats"].reshape(b, t, p, f)
             out["masks"] = dec["masks"].reshape(b, t, *dec["masks"].shape[1:])
@@ -138,6 +139,8 @@ class ExtendedDINOSAUR(nn.Module):
         return out
 
     def __call__(self, x, decode: bool = True, train: bool = False,
-                 tail_chunks: int = 1, tail_remat: bool = False):
+                 tail_chunks: int = 1, tail_remat: bool = False,
+                 tail_unroll=None):
         return self.decompose(x, decode=decode, train=train,
-                              tail_chunks=tail_chunks, tail_remat=tail_remat)
+                              tail_chunks=tail_chunks, tail_remat=tail_remat,
+                              tail_unroll=tail_unroll)

@@ -110,7 +110,7 @@ class SAVi(nn.Module):
 
     # ------------------------------------------------------------------ decode
     def decode(self, slots, train: bool = False, tail_chunks: int = 1,
-               tail_remat: bool = False):
+               tail_remat: bool = False, tail_unroll=None):
         """
         Slots (N, S, D) -> spatial-broadcast decode
         (reference SAVi.py:241-275). Returns dict with recons_imgs (N, H, W, C),
@@ -125,7 +125,8 @@ class SAVi(nn.Module):
         (exact; large inference batches only — see ConvDecoder.decode_broadcast
         and textocvp_tpu/models/chunked.py for the auto policy);
         ``tail_remat`` makes the scanned tail's backward recompute per chunk
-        (training-time chunking — ConvDecoder.decode_broadcast).
+        (training-time chunking — ConvDecoder.decode_broadcast);
+        ``tail_unroll`` overrides the scan-unroll policy (autotuner hook).
         """
         n, s, d = slots.shape
         h0, w0 = self.decoder_resolution
@@ -138,6 +139,7 @@ class SAVi(nn.Module):
                 expand_impl=self.fast_decode_expand,
                 tail_chunks=tail_chunks,
                 tail_remat=tail_remat,
+                tail_unroll=tail_unroll,
             )
         else:
             x = jnp.broadcast_to(slots[:, :, None, None, :], (n, s, h0, w0, d))
@@ -153,7 +155,8 @@ class SAVi(nn.Module):
 
     # ------------------------------------------------------------------ decomp
     def decompose(self, x, decode: bool = True, train: bool = False,
-                  tail_chunks: int = 1, tail_remat: bool = False):
+                  tail_chunks: int = 1, tail_remat: bool = False,
+                  tail_unroll=None):
         """
         Video (B, T, H, W, C) -> object slots (and reconstructions).
 
@@ -188,7 +191,7 @@ class SAVi(nn.Module):
         if decode:
             dec = self.decode(slot_history.reshape(b * t, self.num_slots, self.slot_dim),
                               train=train, tail_chunks=tail_chunks,
-                              tail_remat=tail_remat)
+                              tail_remat=tail_remat, tail_unroll=tail_unroll)
             h, w = dec["recons_imgs"].shape[1:3]
             out["recons_imgs"] = dec["recons_imgs"].reshape(b, t, h, w, self.in_channels)
             out["recons_objs"] = dec["recons"].reshape(b, t, self.num_slots, h, w, self.in_channels)
@@ -196,6 +199,8 @@ class SAVi(nn.Module):
         return out
 
     def __call__(self, x, decode: bool = True, train: bool = False,
-                 tail_chunks: int = 1, tail_remat: bool = False):
+                 tail_chunks: int = 1, tail_remat: bool = False,
+                 tail_unroll=None):
         return self.decompose(x, decode=decode, train=train,
-                              tail_chunks=tail_chunks, tail_remat=tail_remat)
+                              tail_chunks=tail_chunks, tail_remat=tail_remat,
+                              tail_unroll=tail_unroll)

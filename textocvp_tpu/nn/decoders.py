@@ -90,7 +90,8 @@ class ConvDecoder(nn.Module):
 
     def decode_broadcast(self, slots, pos_map, resolution, train: bool = False,
                          expand_impl: str = "concat", tail_chunks: int = 1,
-                         tail_remat: bool = False):
+                         tail_remat: bool = False,
+                         tail_unroll: Optional[int] = None):
         """
         slots: (N, D) spatially-constant content; pos_map: (H0, W0, D) the
         positional projection added to the broadcast. Equivalent to
@@ -118,6 +119,10 @@ class ConvDecoder(nn.Module):
         materializing them for all chunks at once — required to use chunking
         in TRAINING, where the stacked per-chunk residuals otherwise blow HBM
         (19.0 G vs 15.75 G at the B=64 SAVi step, models/chunked.py).
+
+        ``tail_unroll`` overrides the scan-unroll policy
+        (models/chunked.py::pick_tail_unroll) — used by the runtime decode
+        autotuner; None = policy.
         """
         h, w = resolution
         pad = self.kernel_size // 2
@@ -162,10 +167,12 @@ class ConvDecoder(nn.Module):
 
         if (tail_chunks > 1 and x.shape[0] % tail_chunks == 0
                 and not self.is_initializing()):
-            return self._tail_scanned(x, tail_chunks, remat=tail_remat)
+            return self._tail_scanned(x, tail_chunks, remat=tail_remat,
+                                      unroll=tail_unroll)
         return self._tail(x, train=train)
 
-    def _tail_scanned(self, x, tail_chunks: int, remat: bool = False):
+    def _tail_scanned(self, x, tail_chunks: int, remat: bool = False,
+                      unroll: Optional[int] = None):
         """``_tail`` as a raw ``lax.scan`` over batch chunks, with the conv
         params pulled from the bound submodules and applied functionally.
 
@@ -212,16 +219,20 @@ class ConvDecoder(nn.Module):
             tail_fn = jax.checkpoint(tail_fn)
 
         chunks = x.reshape(tail_chunks, x.shape[0] // tail_chunks, *x.shape[1:])
-        # Unroll policy: only the fully-unrolled 4-chunk form beats the
-        # rolled scan on v5e (models/chunked.py::pick_tail_unroll has the
-        # measured grid). TEXTOCVP_TAIL_UNROLL overrides for perf probes
-        # (bench_decode_probe.py); read at trace time.
-        from textocvp_tpu.models.chunked import pick_tail_unroll
+        # Unroll: explicit caller value (autotuner) > TEXTOCVP_TAIL_UNROLL
+        # perf-probe env (bench_decode_probe.py, read at trace time) > policy
+        # (models/chunked.py::pick_tail_unroll — only the fully-unrolled
+        # 4-chunk form beats the rolled scan on v5e).
+        if unroll is None:
+            env = os.environ.get("TEXTOCVP_TAIL_UNROLL")
+            if env:
+                unroll = int(env)
+            else:
+                from textocvp_tpu.models.chunked import pick_tail_unroll
 
-        env = os.environ.get("TEXTOCVP_TAIL_UNROLL")
-        unroll = int(env) if env else pick_tail_unroll(tail_chunks, remat)
+                unroll = pick_tail_unroll(tail_chunks, remat)
         _, y = jax.lax.scan(lambda c, xc: (c, tail_fn(xc)), (), chunks,
-                            unroll=unroll)
+                            unroll=min(max(1, unroll), tail_chunks))
         return y.reshape(x.shape[0], *y.shape[2:])
 
 

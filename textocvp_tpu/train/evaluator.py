@@ -120,14 +120,16 @@ class DecompEvaluator:
         decode_chunks_cfg = (self.exp_params.get("tpu") or {}).get("decode_chunks")
         n_slots = self.exp_params["model"]["model_params"]["num_slots"]
 
-        def _eval(variables, videos, rng):
+        def _eval(variables, videos, rng, tail_chunks=None, tail_unroll=None):
             b, t = videos.shape[:2]
             # scan-chunked decoder tail on large recon batches (exact;
             # docs/PERFORMANCE.md "decode chunking"). ExtendedDINOSAUR
             # accepts and ignores tail_chunks (measured: no win there).
+            if tail_chunks is None:
+                tail_chunks = resolve_tail_chunks(decode_chunks_cfg, b * t, n_slots)
             out = model.apply(
                 variables, videos, rngs={"slots": rng},
-                tail_chunks=resolve_tail_chunks(decode_chunks_cfg, b * t, n_slots))
+                tail_chunks=tail_chunks, tail_unroll=tail_unroll)
             recons = jnp.clip(out["recons_imgs"], 0, 1)
             targets = jnp.clip(videos, 0, 1)
             vals = tracker.compute(recons, targets)
@@ -143,16 +145,38 @@ class DecompEvaluator:
 
         from textocvp_tpu.models.chunked import should_bake_constants
 
-        if should_bake_constants(self.variables):
-            self.eval_step = jax.jit(partial(_eval, self.variables))
+        bake = should_bake_constants(self.variables)
+        variables = self.variables
+
+        def make_step(tail_chunks=None, tail_unroll=None):
+            if bake:
+                return jax.jit(partial(_eval, variables, tail_chunks=tail_chunks,
+                                       tail_unroll=tail_unroll))
+            _j = jax.jit(partial(_eval, tail_chunks=tail_chunks,
+                                 tail_unroll=tail_unroll))
+            return lambda videos, rng: _j(variables, videos, rng)
+
+        # opt-in runtime autotune of the decode schedule (SAVi conv decoder
+        # only — the MLP patch decoder ignores tail_chunks, so variants would
+        # be identical programs): measures the candidate (chunks, unroll)
+        # pairs on the first batch and reuses the winner (models/autotune.py)
+        if (bool((self.exp_params.get("tpu") or {}).get("decode_autotune"))
+                and self.exp_params["model"]["model_name"] == "SAVi"):
+            from textocvp_tpu.models.autotune import lazy_autotuned
+            from textocvp_tpu.models.chunked import decode_candidate_schedules
+
+            def build_variants(videos, rng):
+                b, t = videos.shape[:2]
+                return [(f"chunks={ck} unroll={un}",
+                         make_step(tail_chunks=ck, tail_unroll=un))
+                        for ck, un in decode_candidate_schedules(b * t, n_slots)]
+
+            def sync(vals):
+                np.asarray(next(iter(vals.values())))
+
+            self.eval_step = lazy_autotuned(build_variants, sync, log=print_)
         else:
-            _j = jax.jit(_eval)
-            variables = self.variables
-
-            def eval_step(videos, rng):
-                return _j(variables, videos, rng)
-
-            self.eval_step = eval_step
+            self.eval_step = make_step()
 
     def evaluate(self) -> dict:
         """Set TEXTOCVP_PROFILE=<dir> to capture a jax.profiler trace of the
@@ -320,14 +344,16 @@ class PredictorEvaluator:
                 teacher_force=False, **text_kwargs,
             )
 
-        def _decode_metrics(dv, pred_slots, videos):
+        def _decode_metrics(dv, pred_slots, videos, tail_chunks=None,
+                            tail_unroll=None):
             b = pred_slots.shape[0]
             # decoder tail convs scanned over chunks: ~1.6x on large TPU
             # eval batches, exact (docs/PERFORMANCE.md "decode chunking")
+            if tail_chunks is None:
+                tail_chunks = resolve_tail_chunks(decode_chunks_cfg, b * p, num_slots)
             dec = decomp_model.apply(
                 dv, pred_slots.reshape(b * p, num_slots, slot_dim),
-                method="decode",
-                tail_chunks=resolve_tail_chunks(decode_chunks_cfg, b * p, num_slots),
+                method="decode", tail_chunks=tail_chunks, tail_unroll=tail_unroll,
             )
             targets = jnp.clip(videos[:, c : c + p], 0, 1)
             pred_imgs = jnp.clip(dec["recons_imgs"].reshape(targets.shape), 0, 1)
@@ -342,17 +368,45 @@ class PredictorEvaluator:
         # measured 2.3x faster decode) when the pytree is small; pass as an
         # argument for ViT-scale models — oversized constants are rejected by
         # the remote compile service (docs/PERFORMANCE.md "decode chunking").
-        if should_bake_constants(decomp_vars):
+        bake = should_bake_constants(decomp_vars)
+
+        def make_decode_stage(tail_chunks=None, tail_unroll=None):
+            if bake:
+                return jax.jit(partial(_decode_metrics, decomp_vars,
+                                       tail_chunks=tail_chunks,
+                                       tail_unroll=tail_unroll))
+            _dj = jax.jit(partial(_decode_metrics, tail_chunks=tail_chunks,
+                                  tail_unroll=tail_unroll))
+            return lambda pred_slots, videos: _dj(decomp_vars, pred_slots, videos)
+
+        if bake:
             predict_stage = jax.jit(partial(_predict, decomp_vars))
-            decode_metrics_stage = jax.jit(partial(_decode_metrics, decomp_vars))
         else:
-            _pj, _dj = jax.jit(_predict), jax.jit(_decode_metrics)
+            _pj = jax.jit(_predict)
 
             def predict_stage(pred_params, videos, rng, **text_kwargs):
                 return _pj(decomp_vars, pred_params, videos, rng, **text_kwargs)
 
-            def decode_metrics_stage(pred_slots, videos):
-                return _dj(decomp_vars, pred_slots, videos)
+        # opt-in runtime autotune of the decode schedule (SAVi conv decoder
+        # only): measure the candidate (chunks, unroll) pairs on the first
+        # batch, reuse the winner for the rest of the eval (models/autotune.py)
+        if (bool((self.exp_params.get("tpu") or {}).get("decode_autotune"))
+                and self.exp_params["model"]["model_name"] == "SAVi"):
+            from textocvp_tpu.models.autotune import lazy_autotuned
+            from textocvp_tpu.models.chunked import decode_candidate_schedules
+
+            def build_variants(pred_slots, videos):
+                b = pred_slots.shape[0]
+                return [(f"chunks={ck} unroll={un}",
+                         make_decode_stage(tail_chunks=ck, tail_unroll=un))
+                        for ck, un in decode_candidate_schedules(b * p, num_slots)]
+
+            def sync(out):
+                np.asarray(next(iter(out[0].values())))
+
+            decode_metrics_stage = lazy_autotuned(build_variants, sync, log=print_)
+        else:
+            decode_metrics_stage = make_decode_stage()
 
         def eval_step(pred_params, videos, rng, **text_kwargs):
             """Two chained XLA programs with no host round-trip between them
