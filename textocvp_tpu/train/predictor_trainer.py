@@ -69,7 +69,7 @@ class PredictorTrainer:
         maybe_initialize_distributed()
         self.mesh = get_runtime_mesh(self.exp_params.get("tpu"))
         self.decomp_model = setup_model(self.exp_params)
-        self.predictor = setup_predictor(self.exp_params)
+        self.predictor = setup_predictor(self.exp_params, train=True)
         self.loss_fn = build_loss_fn(self.exp_params["predictor_loss"])
         self.start_epoch = 0
         self.global_step = 0
