@@ -13,7 +13,8 @@ Workloads:
             + decode + slot/img losses in ONE jitted step; B=64, c=1, p=9 —
             the workload the reference trains for 1000 epochs).
   dinosaur  ExtendedDINOSAUR train step at 336px, ViT-B/14 frozen encoder,
-            MLP patch decoder + CNN head, tpu.remat (B=16 default).
+            MLP patch decoder + CNN head, tpu.remat (B=8 default — B=16
+            exceeds v5e HBM by ~400M even with remat).
 
 Timing: steps are dispatched back-to-back (device FIFO) and synchronized by
 fetching one loss scalar at the end — on the remote-attached TPU runtime,
@@ -30,14 +31,27 @@ import time
 import numpy as np
 
 
-def _time_steps(run_step, sync, iters):
-    """Dispatch ``iters`` chained steps, sync on the last; returns ms/step."""
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = run_step()
-    sync(out)
-    return 1000 * (time.perf_counter() - t0) / iters
+def _time_steps(run_step, sync, iters, windows=2):
+    """Warm up, then time ``windows`` independent windows of ``iters`` chained
+    steps each (sync on each window's last step); returns best-window ms/step.
+
+    The warmup steps are synced THROUGH (not just dispatched): the device
+    queue is FIFO, so un-synced warmup dispatches would still be executing
+    when the timed window opens and inflate it by (warmup+iters)/iters.
+    """
+    sync(run_step())
+    sync(run_step())
+    best = float("inf")
+    for w in range(max(1, windows)):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = run_step()
+        sync(out)
+        ms = 1000 * (time.perf_counter() - t0) / iters
+        print(f"window {w}: {ms:.2f} ms/step", file=sys.stderr)
+        best = min(best, ms)
+    return best
 
 
 def bench_savi(tmp, batch, iters, dtype, train_decode_chunks):
@@ -77,8 +91,6 @@ def bench_savi(tmp, batch, iters, dtype, train_decode_chunks):
     sync = lambda v: float(next(iter(v.values())))
     sync(values)
     print(f"[savi] compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    step(), step()
-    sync(values)
     ms = _time_steps(step, sync, iters)
     return {
         "metric": f"savi_train_step_ms (B={batch}, T={t_frames}, {dtype}, "
@@ -149,8 +161,6 @@ def bench_pred(tmp, batch, iters, dtype, train_decode_chunks=None,
     sync = lambda v: float(next(iter(v.values())))
     sync(values)
     print(f"[pred] compile+first: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    step(), step()
-    sync(values)
     ms = _time_steps(step, sync, iters)
     return {
         "metric": f"predictor_train_step_ms (B={batch}, c={c}, p={p_}, "
@@ -199,8 +209,6 @@ def bench_dinosaur(tmp, batch, iters, dtype):
     sync(values)
     print(f"[dinosaur] compile+first: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
-    step(), step()
-    sync(values)
     ms = _time_steps(step, sync, iters)
     return {
         "metric": f"dinosaur_train_step_ms (B={batch}, T={t_frames}, {img}px, "
@@ -235,10 +243,16 @@ def main():
             result = bench_savi(tmp, args.batch_size or 64, args.iters,
                                 args.dtype, chunks)
         elif args.workload == "pred":
-            result = bench_pred(tmp, args.batch_size or 64, args.iters,
+            # default B=16: the one-program predictor step at B>=32 crashes
+            # the remote compile helper (docs/PERFORMANCE.md training finding
+            # 2); 16 is also the per-chip shard of the reference's global
+            # batch 64 on 4+ chips.
+            result = bench_pred(tmp, args.batch_size or 16, args.iters,
                                 args.dtype, chunks, remat=args.remat)
         else:
-            result = bench_dinosaur(tmp, args.batch_size or 16, args.iters,
+            # default B=8: B=16 fails HBM allocation on v5e (16.14G needed
+            # vs 15.75G, measured) even with tpu.remat
+            result = bench_dinosaur(tmp, args.batch_size or 8, args.iters,
                                     args.dtype)
     print(json.dumps(result))
 

@@ -25,9 +25,10 @@
 #   --experiments-root DIR  destination root (default: experiments)
 #   --skip-aux              skip LPIPS export + tokenizer warmup
 #   --skip-eval             stop after conversion
-#   --eval-args "..."       extra args for 05_evaluate_predictor /
-#                           03_evaluate_decomp (default: reference script
-#                           values "--num_seed 1 --num_preds 9")
+#   --eval-args "..."       extra args for 05_evaluate_predictor (default:
+#                           reference script values "--num_seed 1 --num_preds 9")
+#   --decomp-eval-args "..."  extra args for 03_evaluate_decomp_model on
+#                           decomp-only experiment trees (e.g. "--batch_size 8")
 set -euo pipefail
 
 # the reference's release URL (download_pretrained.sh)
@@ -38,6 +39,7 @@ EXP_ROOT="experiments"
 SKIP_AUX=0
 SKIP_EVAL=0
 EVAL_ARGS="--num_seed 1 --num_preds 9"
+DECOMP_EVAL_ARGS=""
 
 while [[ $# -gt 0 ]]; do
     case "$1" in
@@ -46,6 +48,7 @@ while [[ $# -gt 0 ]]; do
         --skip-aux) SKIP_AUX=1; shift ;;
         --skip-eval) SKIP_EVAL=1; shift ;;
         --eval-args) EVAL_ARGS="$2"; shift 2 ;;
+        --decomp-eval-args) DECOMP_EVAL_ARGS="$2"; shift 2 ;;
         *) echo "unknown flag: $1" >&2; exit 2 ;;
     esac
 done
@@ -60,8 +63,18 @@ if [[ -n "$FROM_LOCAL" ]]; then
 else
     say "downloading released checkpoints (reference download_pretrained.sh)"
     wget -q "$DOWNLOAD_URL" -O /tmp/textocvp_pretrained.zip
-    unzip -o -q /tmp/textocvp_pretrained.zip -d .
+    # extract into a temp dir, then move the experiment trees into EXP_ROOT
+    # (the release zip has a top-level experiments/ dir; extracting into "."
+    # would ignore a non-default --experiments-root)
+    unzip_dir=$(mktemp -d)
+    unzip -o -q /tmp/textocvp_pretrained.zip -d "$unzip_dir"
     rm -f /tmp/textocvp_pretrained.zip
+    if [[ -d "$unzip_dir/experiments" ]]; then
+        cp -r "$unzip_dir/experiments"/. "$EXP_ROOT"/
+    else
+        cp -r "$unzip_dir"/. "$EXP_ROOT"/
+    fi
+    rm -rf "$unzip_dir"
 fi
 
 # ---------------------------------------------------------------- 2. convert
@@ -136,8 +149,9 @@ for exp_dir in "$EXP_ROOT"/*/; do
     done
     if [[ $found_pred -eq 0 ]]; then
         say "eval decomp: $exp_dir ($decomp_ckpt)"
+        # shellcheck disable=SC2086
         python src/03_evaluate_decomp_model.py -d "$exp_dir" \
-            --decomp_ckpt "$decomp_ckpt"
+            --decomp_ckpt "$decomp_ckpt" $DECOMP_EVAL_ARGS
     fi
 done
 say "done"

@@ -86,6 +86,22 @@ DEFAULTS = {
     },
 }
 
+def env_int(name: str):
+    """Parse an integer env override (the TEXTOCVP_* perf-probe knobs read at
+    jit trace time); None when unset or empty. A malformed value warns and is
+    ignored instead of raising an opaque ValueError from inside tracing."""
+    raw = os.environ.get(name)
+    if raw is None or raw.strip() == "":
+        return None
+    try:
+        return int(raw)
+    except ValueError:
+        import warnings
+
+        warnings.warn(f"ignoring {name}={raw!r}: not an integer")
+        return None
+
+
 _KINDS = {"datasets", "models", "predictors"}
 
 

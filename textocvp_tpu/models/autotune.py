@@ -37,8 +37,8 @@ def measure_variants(
     compiles and is untimed; the next ``iters`` calls are dispatched
     back-to-back and synced once.
     """
-    best_fn, best_label, best_ms = None, None, float("inf")
-    for label, fn in variants:
+    best_idx, best_ms = 0, float("inf")
+    for i, (label, fn) in enumerate(variants):
         out = fn(*run_args)
         sync(out)  # compile + first run, untimed
         t0 = time.perf_counter()
@@ -48,9 +48,54 @@ def measure_variants(
         ms = 1000 * (time.perf_counter() - t0) / iters
         log(f"  autotune {label}: {ms:.1f} ms")
         if ms < best_ms:
-            best_fn, best_label, best_ms = fn, label, ms
+            best_idx, best_ms = i, ms
+
+    # Multi-host: per-process timing noise must not let processes pick
+    # DIFFERENT winners — from then on they would execute different XLA
+    # programs whose collectives no longer match, deadlocking the eval.
+    # Every process measures the same variants in the same order; process
+    # 0's pick is broadcast and wins everywhere.
+    import jax
+
+    if jax.process_count() > 1:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        agreed = int(multihost_utils.broadcast_one_to_all(np.int32(best_idx)))
+        if agreed != best_idx:
+            log(f"  autotune deferring to process 0's pick "
+                f"({variants[agreed][0]} over local {variants[best_idx][0]})")
+        best_idx = agreed
+
+    best_label = variants[best_idx][0]
     log(f"  autotune picked {best_label} ({best_ms:.1f} ms)")
-    return best_fn
+    return variants[best_idx][1]
+
+
+def autotune_enabled(exp_params: dict) -> bool:
+    """True when ``tpu.decode_autotune`` is set AND the model has a
+    schedulable decode — SAVi's conv decoder. The MLP patch decoder ignores
+    ``tail_chunks`` (measured: no win, docs/PERFORMANCE.md), so its variants
+    would be identical programs."""
+    return (bool((exp_params.get("tpu") or {}).get("decode_autotune"))
+            and exp_params["model"]["model_name"] == "SAVi")
+
+
+def autotuned_stage(make_stage: Callable, schedules_of: Callable,
+                    sync: Callable, log: Callable = print):
+    """Wrap a ``make_stage(tail_chunks=, tail_unroll=)`` builder in a
+    first-call autotuner over the candidate decode schedules.
+
+    ``schedules_of(*args)`` maps the stage's first-batch arguments to the
+    (chunks, unroll) candidates (shapes are only known then). Shared by both
+    evaluators so the wiring cannot drift between them."""
+
+    def build_variants(*args):
+        return [(f"chunks={ck} unroll={un}",
+                 make_stage(tail_chunks=ck, tail_unroll=un))
+                for ck, un in schedules_of(*args)]
+
+    return lazy_autotuned(build_variants, sync, log=log)
 
 
 def lazy_autotuned(build_variants: Callable, sync: Callable,

@@ -19,7 +19,7 @@ allocation (19.0 G needed vs 15.75 G at tail_chunks=2); the opt-in
 ``tpu.train_decode_chunks`` knob therefore pairs chunking with a per-chunk
 ``jax.checkpoint`` (``tail_remat`` on the decode path) so the backward
 recomputes each chunk's tail instead of storing it. Measured on v5e
-(bench_train.py, B=64 SAVi): the remat form FITS but runs 934 ms vs 417 ms
+(bench_train.py, B=64 SAVi): the remat form FITS but runs 779 ms vs 349 ms
 flat — the scan-with-remat backward schedules pathologically — so training
 keeps the flat decode by default and the knob exists for memory-limited
 configs only (docs/PERFORMANCE.md "training side").
@@ -60,6 +60,23 @@ def resolve_tail_chunks(config_value, n_rows: int, num_slots: int) -> int:
     if config_value in (None, "auto"):
         return pick_tail_chunks(n_rows, num_slots)
     return max(1, int(config_value))
+
+
+def train_decode_kwargs(exp_params: dict, n_rows: int) -> dict:
+    """Decode kwargs for a TRAIN step under ``tpu.train_decode_chunks``.
+
+    Returns {} (flat decode) unless chunking is configured, the model is
+    SAVi (the MLP patch decoder ignores ``tail_chunks``), and the resolved
+    count exceeds 1. The chunked form always pairs with per-chunk remat
+    (``tail_remat``) so the backward fits HBM — see the module docstring for
+    why this is a memory knob, not a throughput one. Shared by both trainers
+    so the gate logic cannot drift."""
+    cfg = (exp_params.get("tpu") or {}).get("train_decode_chunks")
+    if cfg in (None, 0, 1) or exp_params["model"]["model_name"] != "SAVi":
+        return {}
+    num_slots = exp_params["model"]["model_params"]["num_slots"]
+    chunks = resolve_tail_chunks(cfg, n_rows, num_slots)
+    return {"tail_chunks": chunks, "tail_remat": True} if chunks > 1 else {}
 
 
 def pick_tail_unroll(tail_chunks: int, remat: bool = False) -> int:

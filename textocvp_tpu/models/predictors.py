@@ -13,7 +13,6 @@ per sequence — they are rollout-invariant.
 
 from __future__ import annotations
 
-import os
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -444,8 +443,10 @@ class PredictorWrapper(nn.Module):
             cnt = jnp.minimum(cnt + 1, L)
             return (buf, cnt), cur
 
-        env = os.environ.get("TEXTOCVP_ROLLOUT_UNROLL")
-        unroll = int(env) if env else self.rollout_unroll
+        from textocvp_tpu.core.config import env_int
+
+        env = env_int("TEXTOCVP_ROLLOUT_UNROLL")
+        unroll = env if env is not None else self.rollout_unroll
         scan = nn.scan(
             body,
             variable_broadcast="params",

@@ -45,6 +45,10 @@ def build(verbose: bool = False) -> bool:
     try:
         res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired):
+        try:
+            os.unlink(tmp_path)  # don't leak a partial .so on timeout
+        except OSError:
+            pass
         return False
     if res.returncode != 0:
         if verbose:

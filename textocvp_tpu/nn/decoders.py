@@ -11,7 +11,6 @@ frames at once), keeping the MXU busy with one large call.
 
 from __future__ import annotations
 
-import os
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -224,10 +223,10 @@ class ConvDecoder(nn.Module):
         # (models/chunked.py::pick_tail_unroll — only the fully-unrolled
         # 4-chunk form beats the rolled scan on v5e).
         if unroll is None:
-            env = os.environ.get("TEXTOCVP_TAIL_UNROLL")
-            if env:
-                unroll = int(env)
-            else:
+            from textocvp_tpu.core.config import env_int
+
+            unroll = env_int("TEXTOCVP_TAIL_UNROLL")
+            if unroll is None:
                 from textocvp_tpu.models.chunked import pick_tail_unroll
 
                 unroll = pick_tail_unroll(tail_chunks, remat)

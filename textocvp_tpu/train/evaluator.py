@@ -156,25 +156,23 @@ class DecompEvaluator:
                                  tail_unroll=tail_unroll))
             return lambda videos, rng: _j(variables, videos, rng)
 
-        # opt-in runtime autotune of the decode schedule (SAVi conv decoder
-        # only — the MLP patch decoder ignores tail_chunks, so variants would
-        # be identical programs): measures the candidate (chunks, unroll)
-        # pairs on the first batch and reuses the winner (models/autotune.py)
-        if (bool((self.exp_params.get("tpu") or {}).get("decode_autotune"))
-                and self.exp_params["model"]["model_name"] == "SAVi"):
-            from textocvp_tpu.models.autotune import lazy_autotuned
+        # opt-in runtime autotune of the decode schedule: measures the
+        # candidate (chunks, unroll) pairs on the first batch and reuses the
+        # winner (models/autotune.py)
+        from textocvp_tpu.models.autotune import autotune_enabled, autotuned_stage
+
+        if autotune_enabled(self.exp_params):
             from textocvp_tpu.models.chunked import decode_candidate_schedules
 
-            def build_variants(videos, rng):
+            def schedules_of(videos, rng):
                 b, t = videos.shape[:2]
-                return [(f"chunks={ck} unroll={un}",
-                         make_step(tail_chunks=ck, tail_unroll=un))
-                        for ck, un in decode_candidate_schedules(b * t, n_slots)]
+                return decode_candidate_schedules(b * t, n_slots)
 
             def sync(vals):
                 np.asarray(next(iter(vals.values())))
 
-            self.eval_step = lazy_autotuned(build_variants, sync, log=print_)
+            self.eval_step = autotuned_stage(make_step, schedules_of, sync,
+                                             log=print_)
         else:
             self.eval_step = make_step()
 
@@ -387,24 +385,24 @@ class PredictorEvaluator:
             def predict_stage(pred_params, videos, rng, **text_kwargs):
                 return _pj(decomp_vars, pred_params, videos, rng, **text_kwargs)
 
-        # opt-in runtime autotune of the decode schedule (SAVi conv decoder
-        # only): measure the candidate (chunks, unroll) pairs on the first
-        # batch, reuse the winner for the rest of the eval (models/autotune.py)
-        if (bool((self.exp_params.get("tpu") or {}).get("decode_autotune"))
-                and self.exp_params["model"]["model_name"] == "SAVi"):
-            from textocvp_tpu.models.autotune import lazy_autotuned
+        # opt-in runtime autotune of the decode schedule: measure the
+        # candidate (chunks, unroll) pairs on the first batch, reuse the
+        # winner for the rest of the eval (models/autotune.py)
+        from textocvp_tpu.models.autotune import autotune_enabled, autotuned_stage
+
+        if autotune_enabled(self.exp_params):
             from textocvp_tpu.models.chunked import decode_candidate_schedules
 
-            def build_variants(pred_slots, videos):
+            def schedules_of(pred_slots, videos):
                 b = pred_slots.shape[0]
-                return [(f"chunks={ck} unroll={un}",
-                         make_decode_stage(tail_chunks=ck, tail_unroll=un))
-                        for ck, un in decode_candidate_schedules(b * p, num_slots)]
+                return decode_candidate_schedules(b * p, num_slots)
 
             def sync(out):
                 np.asarray(next(iter(out[0].values())))
 
-            decode_metrics_stage = lazy_autotuned(build_variants, sync, log=print_)
+            decode_metrics_stage = autotuned_stage(make_decode_stage,
+                                                   schedules_of, sync,
+                                                   log=print_)
         else:
             decode_metrics_stage = make_decode_stage()
 

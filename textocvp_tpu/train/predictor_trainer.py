@@ -189,21 +189,14 @@ class PredictorTrainer:
 
         # train-time decode chunking (tpu.train_decode_chunks): the scanned
         # conv tail with a per-chunk-remat backward. Measured NEGATIVE for
-        # speed on v5e at the SAVi decomp step (934 vs 417 ms, B=64) — a
-        # memory knob, not a throughput one (models/chunked.py). Only SAVi's
-        # conv decoder is affected; the MLP patch decoder ignores tail_chunks.
-        train_chunks_cfg = (self.exp_params.get("tpu") or {}).get(
-            "train_decode_chunks")
-        model_name = self.exp_params["model"]["model_name"]
+        # speed on v5e at the SAVi decomp step (779 vs 349 ms, B=64) — a
+        # memory knob, not a throughput one (models/chunked.py).
+        from textocvp_tpu.models.chunked import train_decode_kwargs
+
+        exp_params = self.exp_params
 
         def _decode_kwargs(b: int) -> dict:
-            if train_chunks_cfg in (None, 0, 1) or model_name != "SAVi":
-                return {}
-            from textocvp_tpu.models.chunked import resolve_tail_chunks
-
-            chunks = resolve_tail_chunks(train_chunks_cfg, b * p, num_slots)
-            return ({"tail_chunks": chunks, "tail_remat": True}
-                    if chunks > 1 else {})
+            return train_decode_kwargs(exp_params, b * p)
 
         def forward_loss(params, videos, rng, text_kwargs, tf: bool):
             videos = videos[:, : c + p]

@@ -163,26 +163,17 @@ class DecompTrainer:
         use_remat = bool((self.exp_params.get("tpu") or {}).get("remat", False))
         # train-time decode chunking: the scanned tail with a per-chunk-remat
         # backward ("auto"/int via tpu.train_decode_chunks). Measured NEGATIVE
-        # for speed on v5e (934 vs 417 ms at the B=64 SAVi step — the
+        # for speed on v5e (779 vs 349 ms at the B=64 SAVi step — the
         # scan-with-remat backward schedules pathologically); the knob exists
         # for memory-limited configs, not throughput (models/chunked.py).
-        train_chunks_cfg = (self.exp_params.get("tpu") or {}).get(
-            "train_decode_chunks")
+        from textocvp_tpu.models.chunked import train_decode_kwargs
 
-        def _train_chunks(videos) -> int:
-            if train_chunks_cfg in (None, 0, 1) or self.model_name != "SAVi":
-                return 1
-            from textocvp_tpu.models.chunked import resolve_tail_chunks
-
-            n_rows = videos.shape[0] * videos.shape[1]
-            num_slots = self.exp_params["model"]["model_params"]["num_slots"]
-            return resolve_tail_chunks(train_chunks_cfg, n_rows, num_slots)
+        exp_params = self.exp_params
 
         def forward(params, batch_stats, videos, rng, train: bool):
             variables = {"params": params}
-            chunks = _train_chunks(videos)
-            kwargs = ({"tail_chunks": chunks, "tail_remat": True}
-                      if chunks > 1 else {})
+            kwargs = train_decode_kwargs(exp_params,
+                                         videos.shape[0] * videos.shape[1])
             if has_bn:
                 variables["batch_stats"] = batch_stats
             if train and has_bn:
