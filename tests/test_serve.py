@@ -199,6 +199,36 @@ def test_aot_export_roundtrip(service, tmp_path):
         exported.predict(frames, ["the zebra is picked up"])
 
 
+def test_mesh_service_matches_single_device(served_exp, service):
+    """Opt-in dp x tp serving (mesh_axes kwarg): batch sharded over 'data',
+    predictor matmuls Megatron-sharded over 'model' — the 8-virtual-device
+    service must reproduce the single-device service's predictions.
+
+    batch_size must match the single-device fixture (2): the stochastic slot
+    initializer samples per COMPILED batch, so a different batch size yields
+    different row-0 predictions. (data=2, model=4) fills the 8 devices."""
+    from textocvp_tpu.serve import PredictionService
+
+    svc = PredictionService(
+        served_exp, "tiny_tf", decomp_ckpt="checkpoint_epoch_final",
+        pred_ckpt="checkpoint_epoch_final", batch_size=2, max_tokens=8,
+        mesh_axes={"data": 2, "model": 4})
+    assert svc.mesh is not None and svc.mesh.shape["model"] == 4
+    frames = np.random.default_rng(9).random((2, 1, RES, RES, 3), np.float32)
+    caps = ["the snitch is picked up", "the cone is rotating"]
+    service._counter = 900
+    ref = service.predict(frames, caps)
+    svc._counter = 900
+    out = svc.predict(frames, caps)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    with pytest.raises(ValueError, match="divisible"):
+        PredictionService(
+            served_exp, "tiny_tf", decomp_ckpt="checkpoint_epoch_final",
+            pred_ckpt="checkpoint_epoch_final", batch_size=3, max_tokens=8,
+            mesh_axes={"data": 2, "model": 4})
+
+
 def test_warmup_uses_in_vocab_caption(service):
     """serve()'s default warmup must work with closed-vocab tokenizers
     (regression: the literal caption 'warmup' is OOV for every CustomTokenizer

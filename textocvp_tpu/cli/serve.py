@@ -19,6 +19,13 @@ def serve_args(argv=None):
     parser.add_argument("--batch_size", type=int, default=8,
                         help="compiled request batch (requests are padded)")
     parser.add_argument("--max_tokens", type=int, default=24)
+    parser.add_argument("--mesh_data", type=int, default=0,
+                        help="multi-chip serving: shard request batches over "
+                             "a data axis of this size (-1 = all remaining "
+                             "devices; 0 = single-device serving)")
+    parser.add_argument("--mesh_model", type=int, default=1,
+                        help="multi-chip serving: tensor-parallel axis for "
+                             "the predictor's matmuls (needs --mesh_data)")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--export", default=None, metavar="DIR",
@@ -34,11 +41,14 @@ def main(argv=None):
     args = serve_args(argv)
     from textocvp_tpu.serve import PredictionService, serve
 
+    mesh_axes = ({"data": args.mesh_data, "model": args.mesh_model}
+                 if args.mesh_data else None)
     service = PredictionService(
         args.exp_directory, args.name_pred_exp,
         decomp_ckpt=args.decomp_ckpt, pred_ckpt=args.pred_ckpt,
         num_seed=args.num_seed, num_preds=args.num_preds,
         batch_size=args.batch_size, max_tokens=args.max_tokens,
+        mesh_axes=mesh_axes,
     )
     if args.export:
         from textocvp_tpu.serve.export import export_service

@@ -43,6 +43,11 @@ def export_service(service, out_dir) -> Path:
     supported here."""
     from textocvp_tpu.serve.pipeline import PredictionService  # noqa: F401
 
+    if getattr(service, "mesh", None) is not None:
+        raise ValueError(
+            "AOT export is single-device by design (exported StableHLO "
+            "replays carry no mesh); build the service without mesh_axes "
+            "to export")
     if getattr(service._predict_stage, "lower", None) is None:
         raise ValueError(
             "service weights exceed the constant-bake limit; AOT export "

@@ -67,6 +67,12 @@ class InferenceFrontend:
         """Hook for subclasses to coerce a token array to the compiled dtype."""
         return v
 
+    def _place_inputs(self, frames: np.ndarray, text_kwargs: dict):
+        """Hook: put the padded request on device. The live mesh service
+        overrides this to shard the batch axis over the mesh's data axis."""
+        return (jnp.asarray(frames, jnp.float32),
+                {k: jnp.asarray(v) for k, v in text_kwargs.items()})
+
     def _tokenize(self, captions: Sequence[str]) -> dict:
         try:
             info = self.tokenizer(list(captions))
@@ -143,9 +149,8 @@ class InferenceFrontend:
         with self._lock:
             self._counter += 1
             key = jax.random.fold_in(jax.random.PRNGKey(14), self._counter)
-            pred_slots = self._predict_stage(
-                jnp.asarray(frames, jnp.float32), key,
-                **{k: jnp.asarray(v) for k, v in text_kwargs.items()})
+            videos_dev, text_dev = self._place_inputs(frames, text_kwargs)
+            pred_slots = self._predict_stage(videos_dev, key, **text_dev)
             # device-side uint8 (see _decode); serving output is 8-bit by
             # contract — the HTTP wire format is uint8 npz
             out = np.asarray(self._decode_stage(pred_slots))
@@ -158,12 +163,24 @@ class PredictionService(InferenceFrontend):
     frames in -> ``num_preds`` predicted frames out. Requests are padded to
     ``batch_size`` rows and ``max_tokens`` caption tokens so every call reuses
     the same two executables compiled at :meth:`warmup`.
-    """
+
+    Multi-chip serving is opt-in via the ``mesh_axes`` constructor kwarg
+    (e.g. ``{"data": 4, "model": 2}``; ``src/07_serve.py --mesh_data
+    --mesh_model``): the request batch shards over the ``data`` axis and,
+    with ``model > 1``, the predictor's large matmuls shard Megatron-style
+    over the ``model`` axis (parallel/partitioning.py). ``batch_size`` must
+    divide evenly over the data axis — serving shapes are fixed, so this is
+    validated at build time rather than padded per request. The experiment's
+    ``tpu.mesh_axes`` (a TRAINING knob that defaults to data=-1) is
+    deliberately not consulted: a serving process must not silently change
+    its compiled shapes with the host's device count. Without ``mesh_axes``
+    the service is single-device, and the AOT export path stays
+    single-device by design (exported StableHLO replays need no mesh)."""
 
     def __init__(self, exp_path, name_pred_exp: str, decomp_ckpt: str,
                  pred_ckpt: str, num_seed: Optional[int] = None,
                  num_preds: Optional[int] = None, batch_size: int = 8,
-                 max_tokens: int = 24):
+                 max_tokens: int = 24, mesh_axes: Optional[dict] = None):
         parent = Experiment(exp_path)
         self.exp = Experiment(parent.exp_path / "predictors" / name_pred_exp) \
             if not str(name_pred_exp).startswith(str(parent.exp_path)) \
@@ -215,9 +232,43 @@ class PredictionService(InferenceFrontend):
         self.pred_vars = {
             "params": jax.tree_util.tree_map(jnp.asarray, pred_restored["params"])}
 
+        # opt-in multi-chip serving (see class docstring)
+        self.mesh = None
+        if mesh_axes:
+            from textocvp_tpu.parallel.distributed import get_runtime_mesh
+            from textocvp_tpu.parallel.mesh import (
+                batch_sharding,
+                replicated_sharding,
+            )
+            from textocvp_tpu.parallel.partitioning import shard_predictor_params
+
+            self.mesh = get_runtime_mesh({"mesh_axes": mesh_axes})
+            d = self.mesh.shape["data"]
+            if self.batch_size % d:
+                raise ValueError(
+                    f"serving batch_size={self.batch_size} must be divisible "
+                    f"by the mesh data axis ({d}); pick a divisible batch or "
+                    f"drop mesh_axes")
+            self.model_vars = jax.device_put(
+                self.model_vars, replicated_sharding(self.mesh))
+            if self.mesh.shape["model"] > 1:
+                self.pred_vars = {"params": shard_predictor_params(
+                    self.pred_vars["params"], self.mesh)}
+            else:
+                self.pred_vars = jax.device_put(
+                    self.pred_vars, replicated_sharding(self.mesh))
+            self._batch_sharding = batch_sharding(self.mesh)
+
         self._lock = threading.Lock()
         self._counter = 0
         self._build()
+
+    def _place_inputs(self, frames, text_kwargs):
+        if self.mesh is None:
+            return super()._place_inputs(frames, text_kwargs)
+        put = lambda v: jax.device_put(np.asarray(v), self._batch_sharding)
+        return put(np.asarray(frames, np.float32)), \
+            {k: put(v) for k, v in text_kwargs.items()}
 
     # ------------------------------------------------------------------ build
     def _build(self):
