@@ -161,36 +161,17 @@ def main():
     float(s)  # D2H fetch = reliable sync
     print(f"compile+first-step: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    # warmup
-    for i in range(2):
-        _, s = eval_step(videos, tokens, attn_masks,
-                         jax.random.fold_in(key, i))
-        float(s)
+    # shared warmup-sync + best-of-N-windows methodology (bench_common.py)
+    from bench_common import time_windows
 
-    # dispatch all timed steps back-to-back (the device queue is FIFO), then
-    # force completion of the last one — overlaps the host-fetch round trip
-    # with compute instead of paying it per step. Several independent windows
-    # are timed and the best is reported: a single window is vulnerable to
-    # transient host contention (measured: a concurrent CPU test run inflated
-    # one window 274 -> 344 ms).
-    window_s = []
-    for w in range(max(1, args.windows)):
-        t0 = time.perf_counter()
-        scalars = []
-        for i in range(args.iters):
-            _, s = eval_step(videos, tokens, attn_masks,
-                             jax.random.fold_in(key, 100 + w * args.iters + i))
-            scalars.append(s)
-        for s in scalars:
-            float(s)
-        window_s.append(time.perf_counter() - t0)
-        print(f"window {w}: {1000 * window_s[-1] / args.iters:.2f} ms/step",
-              file=sys.stderr)
-    dt = min(window_s)
+    dt = time_windows(
+        lambda i: eval_step(videos, tokens, attn_masks,
+                            jax.random.fold_in(key, i)),
+        lambda out: float(out[1]), args.iters, windows=args.windows)
     step_ms = 1000 * dt / args.iters
     frames = args.batch_size * args.num_preds * args.iters
     fps_per_chip = frames / dt / n_chips
-    print(f"step time: {step_ms:.2f} ms (best of {len(window_s)} windows)  "
+    print(f"step time: {step_ms:.2f} ms (best of {args.windows} windows)  "
           f"({frames} frames in {dt:.2f}s on {n_chips} chip)", file=sys.stderr)
 
     print(json.dumps({

@@ -127,6 +127,9 @@ def main():
         print(json.dumps(r))
     os.environ.pop("TEXTOCVP_TAIL_UNROLL", None)
 
+    if not results:
+        sys.exit(f"no measurable variant: none of --chunks divides "
+                 f"n_rows={n_rows} (pass --flat or a dividing chunk count)")
     best = min(results, key=lambda r: r["ms"])
     print(json.dumps({"best": best["variant"], "ms": best["ms"],
                       "tflops": best["tflops"],

@@ -97,23 +97,14 @@ def main():
     _, s = eval_step(videos, tokens, attn_masks, key)
     float(s)
     print(f"compile+first-step: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    for i in range(2):  # warmup, synced through
-        _, s = eval_step(videos, tokens, attn_masks, jax.random.fold_in(key, i))
-        float(s)
 
-    best = float("inf")
-    for w in range(max(1, args.windows)):
-        t0 = time.perf_counter()
-        scalars = []
-        for i in range(args.iters):
-            _, s = eval_step(videos, tokens, attn_masks,
-                             jax.random.fold_in(key, 100 + w * args.iters + i))
-            scalars.append(s)
-        for s in scalars:
-            float(s)
-        dt = time.perf_counter() - t0
-        print(f"window {w}: {1000 * dt / args.iters:.2f} ms/step", file=sys.stderr)
-        best = min(best, dt)
+    # shared warmup-sync + best-of-N-windows methodology (bench_common.py)
+    from bench_common import time_windows
+
+    best = time_windows(
+        lambda i: eval_step(videos, tokens, attn_masks,
+                            jax.random.fold_in(key, i)),
+        lambda out: float(out[1]), args.iters, windows=args.windows)
 
     n_chips = jax.local_device_count()
     fps = b * p * args.iters / best / n_chips

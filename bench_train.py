@@ -10,7 +10,9 @@ Workloads:
             scanned decode tail with per-chunk remat in training
             (tpu.train_decode_chunks).
   pred      Stage-2 predictor train step (frozen SAVi + TextOCVP_T5 rollout
-            + decode + slot/img losses in ONE jitted step; B=64, c=1, p=9 —
+            + decode + slot/img losses in ONE jitted step; B=16 default —
+            the per-chip shard of the reference's global batch 64 on 4+
+            chips; B>=32 crashes the remote compile helper here — c=1, p=9,
             the workload the reference trains for 1000 epochs).
   dinosaur  ExtendedDINOSAUR train step at 336px, ViT-B/14 frozen encoder,
             MLP patch decoder + CNN head, tpu.remat (B=8 default — B=16
@@ -31,27 +33,8 @@ import time
 import numpy as np
 
 
-def _time_steps(run_step, sync, iters, windows=2):
-    """Warm up, then time ``windows`` independent windows of ``iters`` chained
-    steps each (sync on each window's last step); returns best-window ms/step.
-
-    The warmup steps are synced THROUGH (not just dispatched): the device
-    queue is FIFO, so un-synced warmup dispatches would still be executing
-    when the timed window opens and inflate it by (warmup+iters)/iters.
-    """
-    sync(run_step())
-    sync(run_step())
-    best = float("inf")
-    for w in range(max(1, windows)):
-        t0 = time.perf_counter()
-        out = None
-        for _ in range(iters):
-            out = run_step()
-        sync(out)
-        ms = 1000 * (time.perf_counter() - t0) / iters
-        print(f"window {w}: {ms:.2f} ms/step", file=sys.stderr)
-        best = min(best, ms)
-    return best
+# warmup-sync + best-of-N-windows methodology shared by all benches
+from bench_common import time_steps_ms as _time_steps
 
 
 def bench_savi(tmp, batch, iters, dtype, train_decode_chunks):

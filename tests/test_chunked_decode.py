@@ -50,6 +50,14 @@ def test_decode_candidate_schedules():
     assert all(c == 1 or 1216 % c == 0 for c, _ in cands)
     # tiny shape: flat + one chunked probe
     assert decode_candidate_schedules(24, 3) == [(1, 1), (2, 1)]
+    # an explicit tpu.decode_chunks override leads the candidate list
+    cands = decode_candidate_schedules(1216, 8, configured_chunks=16)
+    assert cands[0] == (16, 1) and (4, 4) in cands
+    assert len(cands) == len(set(cands))
+    # a non-dividing override is dropped (it could not compile anyway)
+    assert (5, 1) not in decode_candidate_schedules(1216, 8, configured_chunks=5)
+    # "auto" (non-int) just defers to the policy
+    assert decode_candidate_schedules(1216, 8, configured_chunks="auto")[0] == (4, 4)
 
 
 @pytest.fixture(scope="module")

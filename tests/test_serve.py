@@ -243,3 +243,16 @@ def test_too_long_caption_is_rejected_not_truncated(service):
     long_caption = " ".join(["the"] * (service.max_tokens + 4))
     with pytest.raises(ValueError, match="caption too long"):
         service.predict(frames, [long_caption])
+
+
+def test_serve_cli_rejects_tp_without_mesh(tmp_path):
+    """--mesh_model without --mesh_data would silently build a single-device
+    service; the CLI must reject it at parse time."""
+    from textocvp_tpu.cli.serve import serve_args
+
+    base = ["-d", str(tmp_path / "exp"), "--name_pred_exp", "p",
+            "--decomp_ckpt", "a", "--pred_ckpt", "b"]
+    with pytest.raises(SystemExit):
+        serve_args(base + ["--mesh_model", "2"])
+    args = serve_args(base + ["--mesh_data", "-1", "--mesh_model", "2"])
+    assert args.mesh_model == 2 and args.mesh_data == -1

@@ -111,3 +111,23 @@ def test_predictor_eval_requires_image_reconstruction(tmp_path):
 
     with pytest.raises(ValueError, match="reconstruct_images"):
         PredictorEvaluator(exp.exp_path, "p", "ck_decomp", "ck_pred")
+
+
+def test_decomp_eval_requires_image_reconstruction(tmp_path):
+    """DecompEvaluator computes recon PSNR/SSIM/LPIPS on RGB frames, so a
+    feature-only decoder must fail fast too — while DecompFigGenerator
+    (which renders what the decoder CAN produce: masks/objects) must NOT."""
+    import pytest
+
+    exp = Experiment.create(tmp_path / "exp_nofr2", "ExtendedDINOSAUR", "Synthetic")
+    params = exp.params
+    params["model"]["model_params"]["decoder"]["decoder_params"][
+        "reconstruct_images"] = False
+    exp.save_params(params)
+
+    from textocvp_tpu.train.evaluator import DecompEvaluator
+    from textocvp_tpu.train.fig_generation import DecompFigGenerator
+
+    with pytest.raises(ValueError, match="reconstruct_images"):
+        DecompEvaluator(exp.exp_path, "ck_decomp")
+    assert DecompFigGenerator(exp.exp_path, "ck_decomp") is not None

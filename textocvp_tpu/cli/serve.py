@@ -33,6 +33,11 @@ def serve_args(argv=None):
                              "stages (StableHLO + manifest) to DIR — "
                              "deployable without model code or checkpoints")
     args = parser.parse_args(argv)
+    if args.mesh_model > 1 and not args.mesh_data:
+        parser.error("--mesh_model needs a mesh: pass --mesh_data "
+                     "(e.g. --mesh_data -1 to span the remaining devices); "
+                     "with --mesh_data 0 the service is single-device and "
+                     "the tensor-parallel request would be silently ignored")
     args.exp_directory = _norm_exp_dir(args.exp_directory)
     return args
 

@@ -37,8 +37,8 @@ def measure_variants(
     compiles and is untimed; the next ``iters`` calls are dispatched
     back-to-back and synced once.
     """
-    best_idx, best_ms = 0, float("inf")
-    for i, (label, fn) in enumerate(variants):
+    times = []
+    for label, fn in variants:
         out = fn(*run_args)
         sync(out)  # compile + first run, untimed
         t0 = time.perf_counter()
@@ -47,8 +47,8 @@ def measure_variants(
             sync(o)
         ms = 1000 * (time.perf_counter() - t0) / iters
         log(f"  autotune {label}: {ms:.1f} ms")
-        if ms < best_ms:
-            best_idx, best_ms = i, ms
+        times.append(ms)
+    best_idx = min(range(len(variants)), key=times.__getitem__)
 
     # Multi-host: per-process timing noise must not let processes pick
     # DIFFERENT winners — from then on they would execute different XLA
@@ -68,7 +68,9 @@ def measure_variants(
         best_idx = agreed
 
     best_label = variants[best_idx][0]
-    log(f"  autotune picked {best_label} ({best_ms:.1f} ms)")
+    # times[best_idx] is this process's own measurement of the (possibly
+    # process-0-agreed) pick — never another variant's number.
+    log(f"  autotune picked {best_label} ({times[best_idx]:.1f} ms local)")
     return variants[best_idx][1]
 
 

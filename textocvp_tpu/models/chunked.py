@@ -99,11 +99,15 @@ def pick_tail_unroll(tail_chunks: int, remat: bool = False) -> int:
     return 4 if tail_chunks == 4 else 1
 
 
-def decode_candidate_schedules(n_rows: int, num_slots: int):
+def decode_candidate_schedules(n_rows: int, num_slots: int,
+                               configured_chunks=None):
     """Candidate (tail_chunks, tail_unroll) pairs for the runtime decode
     autotuner (``tpu.decode_autotune``): the static policy pick, its fully
     unrolled form, and the neighboring chunk counts. Small, because each
-    candidate costs one compile of the decode stage."""
+    candidate costs one compile of the decode stage. An explicit
+    ``tpu.decode_chunks`` config (``configured_chunks``) is always among the
+    candidates — the user's override must at least be measured, never
+    silently disregarded."""
     c0 = pick_tail_chunks(n_rows, num_slots)
     cands = []
 
@@ -111,6 +115,9 @@ def decode_candidate_schedules(n_rows: int, num_slots: int):
         if c >= 1 and (c == 1 or n_rows % c == 0) and (c, u) not in cands:
             cands.append((c, u))
 
+    if isinstance(configured_chunks, int):
+        add(configured_chunks, pick_tail_unroll(configured_chunks))
+        add(configured_chunks, 1)
     add(c0, pick_tail_unroll(c0))
     add(c0, 1)                       # rolled scan
     add(c0, c0)                      # fully unrolled

@@ -43,30 +43,28 @@ def build(verbose: bool = False) -> bool:
         "-o", tmp_path, _SRC, "-lpng", "-lz",
     ]
     try:
-        res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
-    except (OSError, subprocess.TimeoutExpired):
         try:
-            os.unlink(tmp_path)  # don't leak a partial .so on timeout
+            res = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=120)
+        except (OSError, subprocess.TimeoutExpired):
+            return False
+        if res.returncode != 0:
+            if verbose:
+                print(res.stderr, file=sys.stderr)
+            return False
+        try:
+            os.rename(tmp_path, _LIB_PATH)  # atomic on the same filesystem
         except OSError:
-            pass
-        return False
-    if res.returncode != 0:
-        if verbose:
-            print(res.stderr, file=sys.stderr)
+            # lost a rename race: fine if a concurrent builder won
+            return os.path.exists(_LIB_PATH)
+        return True
+    finally:
+        # every failure path leaves tmp_path behind; a successful rename
+        # removes it, making this unlink a no-op
         try:
             os.unlink(tmp_path)
         except OSError:
             pass
-        return False
-    try:
-        os.rename(tmp_path, _LIB_PATH)  # atomic on the same filesystem
-    except OSError:
-        try:
-            os.unlink(tmp_path)
-        except OSError:
-            pass
-        return os.path.exists(_LIB_PATH)
-    return True
 
 
 def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:

@@ -78,12 +78,22 @@ def _progress(iterable, total=None, desc=""):
 class DecompEvaluator:
     """Evaluate a decomposition checkpoint on full-sequence reconstruction."""
 
+    # DecompFigGenerator overrides this: it renders what the decoder CAN
+    # produce (feature-only DINOSAUR still yields masks/objects figures),
+    # while metric eval strictly needs RGB reconstructions.
+    requires_image_reconstruction = True
+
     def __init__(self, exp_path, checkpoint: str, batch_size: Optional[int] = None,
                  results_name: Optional[str] = None,
                  metrics=("psnr", "ssim", "lpips")):
         self.exp = Experiment(exp_path)
         Logger(self.exp.exp_path)
         self.exp_params = self.exp.params
+        if self.requires_image_reconstruction:
+            from textocvp_tpu.models.factory import check_image_reconstruction
+
+            check_image_reconstruction(
+                self.exp_params, purpose="compute reconstruction metrics for")
         self.checkpoint = checkpoint
         self.batch_size = batch_size or self.exp_params["training"]["batch_size"]
         self.results_name = results_name or f"eval_decomp_{checkpoint}"
@@ -166,7 +176,8 @@ class DecompEvaluator:
 
             def schedules_of(videos, rng):
                 b, t = videos.shape[:2]
-                return decode_candidate_schedules(b * t, n_slots)
+                return decode_candidate_schedules(
+                    b * t, n_slots, configured_chunks=decode_chunks_cfg)
 
             def sync(vals):
                 np.asarray(next(iter(vals.values())))
@@ -395,7 +406,8 @@ class PredictorEvaluator:
 
             def schedules_of(pred_slots, videos):
                 b = pred_slots.shape[0]
-                return decode_candidate_schedules(b * p, num_slots)
+                return decode_candidate_schedules(
+                    b * p, num_slots, configured_chunks=decode_chunks_cfg)
 
             def sync(out):
                 np.asarray(next(iter(out[0].values())))

@@ -26,6 +26,10 @@ from textocvp_tpu.viz import figures as viz
 class DecompFigGenerator(DecompEvaluator):
     """Figure generation for decomposition models (batch_size=1 sequences)."""
 
+    # feature-only decoders (reconstruct_images=false) still produce
+    # masks/objects figures; only the recons panels are skipped.
+    requires_image_reconstruction = False
+
     def __init__(self, exp_path, checkpoint: str, num_seqs: int = 10):
         super().__init__(exp_path, checkpoint, batch_size=1, metrics=("psnr",))
         self.num_seqs = num_seqs
