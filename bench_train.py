@@ -37,7 +37,7 @@ import numpy as np
 from bench_common import time_steps_ms as _time_steps
 
 
-def bench_savi(tmp, batch, iters, dtype, train_decode_chunks):
+def bench_savi(tmp, batch, iters, dtype, train_decode_chunks, accum=1):
     import jax
     import jax.numpy as jnp
 
@@ -48,6 +48,7 @@ def bench_savi(tmp, batch, iters, dtype, train_decode_chunks):
     exp = Experiment.create(f"{tmp}/{name}", "SAVi", "CATER_Easy")
     p = exp.params
     p["training"]["batch_size"] = batch
+    p["training"]["accum_steps"] = accum
     p.setdefault("tpu", {})["compute_dtype"] = dtype
     if train_decode_chunks:
         p["tpu"]["train_decode_chunks"] = train_decode_chunks
@@ -77,14 +78,15 @@ def bench_savi(tmp, batch, iters, dtype, train_decode_chunks):
     ms = _time_steps(step, sync, iters)
     return {
         "metric": f"savi_train_step_ms (B={batch}, T={t_frames}, {dtype}, "
-                  f"decode_chunks={train_decode_chunks or 'off'})",
+                  f"decode_chunks={train_decode_chunks or 'off'}"
+                  f"{f', accum={accum}' if accum > 1 else ''})",
         "value": round(ms, 2), "unit": "ms/step",
         "frames_per_sec": round(batch * t_frames / (ms / 1000), 1),
     }
 
 
 def bench_pred(tmp, batch, iters, dtype, train_decode_chunks=None,
-               remat=False):
+               remat=False, accum=1):
     import jax
     import jax.numpy as jnp
 
@@ -112,6 +114,7 @@ def bench_pred(tmp, batch, iters, dtype, train_decode_chunks=None,
         parent.exp_path, "bench_t5", "TextOCVP_T5", require_parent_ckpt=False)
     qp = pred_exp.params
     qp["training"]["batch_size"] = batch
+    qp["training"]["accum_steps"] = accum
     qp.setdefault("tpu", {})["compute_dtype"] = dtype
     if train_decode_chunks:
         qp["tpu"]["train_decode_chunks"] = train_decode_chunks
@@ -149,13 +152,14 @@ def bench_pred(tmp, batch, iters, dtype, train_decode_chunks=None,
         "metric": f"predictor_train_step_ms (B={batch}, c={c}, p={p_}, "
                   f"TextOCVP_T5, {dtype}, "
                   f"decode_chunks={train_decode_chunks or 'off'}"
-                  f"{', remat' if remat else ''})",
+                  f"{', remat' if remat else ''}"
+                  f"{f', accum={accum}' if accum > 1 else ''})",
         "value": round(ms, 2), "unit": "ms/step",
         "pred_frames_per_sec": round(batch * p_ / (ms / 1000), 1),
     }
 
 
-def bench_dinosaur(tmp, batch, iters, dtype):
+def bench_dinosaur(tmp, batch, iters, dtype, accum=1):
     import jax
     import jax.numpy as jnp
 
@@ -165,6 +169,7 @@ def bench_dinosaur(tmp, batch, iters, dtype):
     exp = Experiment.create(f"{tmp}/dinosaur", "ExtendedDINOSAUR", "CLIPort")
     p = exp.params
     p["training"]["batch_size"] = batch
+    p["training"]["accum_steps"] = accum
     p.setdefault("tpu", {})["compute_dtype"] = dtype
     p["tpu"]["remat"] = True
     exp.save_params(p)
@@ -195,7 +200,8 @@ def bench_dinosaur(tmp, batch, iters, dtype):
     ms = _time_steps(step, sync, iters)
     return {
         "metric": f"dinosaur_train_step_ms (B={batch}, T={t_frames}, {img}px, "
-                  f"ViT-B/14, remat, {dtype})",
+                  f"ViT-B/14, remat, {dtype}"
+                  f"{f', accum={accum}' if accum > 1 else ''})",
         "value": round(ms, 2), "unit": "ms/step",
         "frames_per_sec": round(batch * t_frames / (ms / 1000), 1),
     }
@@ -213,6 +219,10 @@ def main():
                         help="savi/pred: 'auto' or an int (tpu.train_decode_chunks)")
     parser.add_argument("--remat", action="store_true", default=False,
                         help="pred: set tpu.remat (rollout+decode recomputed in backward)")
+    parser.add_argument("--accum", type=int, default=1,
+                        help="training.accum_steps: sequential equal "
+                             "microbatches inside one jitted step, one "
+                             "averaged optimizer update (docs/TRAIN.md)")
     args = parser.parse_args()
 
     import jax
@@ -224,19 +234,20 @@ def main():
             chunks = int(chunks)
         if args.workload == "savi":
             result = bench_savi(tmp, args.batch_size or 64, args.iters,
-                                args.dtype, chunks)
+                                args.dtype, chunks, accum=args.accum)
         elif args.workload == "pred":
             # default B=16: the one-program predictor step at B>=32 crashes
             # the remote compile helper (docs/PERFORMANCE.md training finding
             # 2); 16 is also the per-chip shard of the reference's global
             # batch 64 on 4+ chips.
             result = bench_pred(tmp, args.batch_size or 16, args.iters,
-                                args.dtype, chunks, remat=args.remat)
+                                args.dtype, chunks, remat=args.remat,
+                                accum=args.accum)
         else:
             # default B=8: B=16 fails HBM allocation on v5e (16.14G needed
             # vs 15.75G, measured) even with tpu.remat
             result = bench_dinosaur(tmp, args.batch_size or 8, args.iters,
-                                    args.dtype)
+                                    args.dtype, accum=args.accum)
     print(json.dumps(result))
 
 

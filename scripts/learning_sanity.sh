@@ -8,7 +8,10 @@
 #
 #   scripts/learning_sanity.sh [WORKDIR]
 #
-# Env overrides: SANITY_EPOCHS1 (default 40), SANITY_EPOCHS2 (default 60).
+# Env overrides: SANITY_EPOCHS1 (default 40), SANITY_EPOCHS2 (default 60),
+# SANITY_SEQS (train sequences, default 64 from Synthetic.json — raise for
+# longer runs so extra epochs see fresh data instead of memorizing),
+# SANITY_ACCUM (training.accum_steps for both stages, default 1).
 # Takes ~15 min on the tunneled v5e (mostly compiles; the persistent compile
 # cache makes reruns much faster), ~40 min on a 1-core CPU host.
 set -euo pipefail
@@ -16,6 +19,8 @@ set -euo pipefail
 WORK="${1:-$(mktemp -d)}"
 EPOCHS1="${SANITY_EPOCHS1:-40}"
 EPOCHS2="${SANITY_EPOCHS2:-60}"
+SEQS="${SANITY_SEQS:-64}"
+ACCUM="${SANITY_ACCUM:-1}"
 export TEXTOCVP_EXPERIMENTS="$WORK"
 say() { echo "[sanity] $*"; }
 
@@ -23,14 +28,16 @@ say "experiments root: $WORK"
 
 # ---------------------------------------------------------------- stage 1
 python src/01_create_experiment.py -d s1 --model_name SAVi --dataset_name Synthetic
-python - "$WORK/s1/experiment_params.json" "$EPOCHS1" <<'PY'
+python - "$WORK/s1/experiment_params.json" "$EPOCHS1" "$SEQS" "$ACCUM" <<'PY'
 import json, sys
 p = json.load(open(sys.argv[1]))
 mp = p["model"]["model_params"]
 mp.update(num_slots=5, slot_dim=64, mlp_hidden=64, mlp_encoder_dim=64)
 mp["encoder"]["encoder_params"]["num_channels"] = [32, 32, 32]
 mp["decoder"]["decoder_params"]["num_channels"] = [32, 32, 32]
+p["dataset"]["num_train_seqs"] = int(sys.argv[3])
 p["training"].update(num_epochs=int(sys.argv[2]), batch_size=16,
+                     accum_steps=int(sys.argv[4]),
                      save_frequency=1000, log_frequency=50)
 json.dump(p, open(sys.argv[1], "w"), indent=2)
 PY
@@ -43,7 +50,7 @@ python src/03_evaluate_decomp_model.py -d s1 --decomp_ckpt checkpoint_epoch_fina
 # ---------------------------------------------------------------- stage 2
 python src/01_create_predictor_experiment.py -d s1 --name_pred_exp p1 \
     --predictor_name TextOCVP_CustomTF
-python - "$WORK/s1/predictors/p1/experiment_params.json" "$EPOCHS2" <<'PY'
+python - "$WORK/s1/predictors/p1/experiment_params.json" "$EPOCHS2" "$SEQS" "$ACCUM" <<'PY'
 import json, sys
 p = json.load(open(sys.argv[1]))
 pp = p["predictor"]["predictor_params"]
@@ -51,7 +58,9 @@ pp["predictor_params"].update(token_dim=64, n_heads=4, hidden_dim=128, num_layer
 pp["fusion_params"].update(num_heads=4, head_dim=16, mlp_size=128)
 pp["text_encoder_params"].update(input_dim=32, num_layers=1, num_heads=2)
 p["prediction_params"].update(num_context=2, num_preds=6, input_buffer_size=4)
+p["dataset"]["num_train_seqs"] = int(sys.argv[3])
 p["training"].update(num_epochs=int(sys.argv[2]), batch_size=16,
+                     accum_steps=int(sys.argv[4]),
                      save_frequency=1000, log_frequency=50)
 json.dump(p, open(sys.argv[1], "w"), indent=2)
 PY

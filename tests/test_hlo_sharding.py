@@ -144,3 +144,49 @@ def test_tp_rollout_emits_per_block_model_axis_reduces(text_encoder):
         # extra communication crept in; 0 means replication. Re-derive with
         # fn.lower(...).compile().as_text() if the toolchain changes.
         assert len(sizes) == 10, f"all-reduce count changed: {len(sizes)} != 10"
+
+
+def test_dp_accum_step_keeps_microbatches_sharded(tmp_path):
+    """Gradient accumulation on the 8-device data mesh: the (accum, micro_b)
+    reshape must NOT land the sharding on the scan axis (that would emit a
+    batch all-gather and replicate each microbatch's compute on every
+    device). Expected collective structure: one collective-permute (the
+    microbatch reshard), gradient all-reduces over the FULL data axis, zero
+    all-gathers."""
+    import numpy as np
+
+    from textocvp_tpu.core.experiment import Experiment
+    from textocvp_tpu.parallel.mesh import shard_batch
+    from textocvp_tpu.train.trainer import DecompTrainer
+
+    exp = Experiment.create(tmp_path / "accum_hlo", "SAVi", "Synthetic")
+    p = exp.params
+    mp = p["model"]["model_params"]
+    mp.update(num_slots=3, slot_dim=16, mlp_hidden=16, mlp_encoder_dim=16,
+              initializer="Learned")
+    mp["encoder"]["encoder_params"].update(num_channels=[8], resolution=[16, 16])
+    mp["decoder"]["decoder_params"].update(num_channels=[8], resolution=[16, 16])
+    mp["transition_module"] = {"model_name": "TransformerBlock", "num_heads": 2,
+                               "mlp_size": 16}
+    p["dataset"].update(img_size=[16, 16], num_frames=3)
+    p["training"].update(batch_size=16, accum_steps=2)
+    exp.save_params(p)
+
+    videos = np.random.default_rng(0).uniform(0, 1, (16, 3, 16, 16, 3)).astype(np.float32)
+    tr = DecompTrainer(exp.exp_path)
+    assert tr.mesh.shape["data"] == 8
+    tr.setup_model(videos)
+    vs = shard_batch(jnp.asarray(videos), tr.mesh)
+    with tr.mesh:
+        hlo = tr._train_step_jit.lower(
+            tr.params, tr.batch_stats, tr.opt_state, vs,
+            jax.random.PRNGKey(0), accum=2).compile().as_text()
+
+    sizes = _all_reduce_group_sizes(hlo)
+    assert sizes and all(s == 8 for s in sizes), (
+        f"accum grad all-reduce must span the full data axis, got {sizes}")
+    assert _count(hlo, "all-gather") == 0, (
+        "all-gather in the accumulated step — microbatches fell back to "
+        "replicated execution")
+    assert _count(hlo, "collective-permute") <= 1, (
+        "more than the single expected microbatch-reshard permute")

@@ -234,3 +234,158 @@ def test_predictor_evaluation_autotune(trained_exp, trained_predictor, capsys):
     results = ev.evaluate()
     assert "autotune picked" in capsys.readouterr().out
     assert np.isfinite(results["psnr"]["mean"])
+
+
+def test_accum_step_matches_flat(tmp_path_factory):
+    """training.accum_steps=4 must yield the same loss and (within adam
+    reassociation noise) the same parameter update as the flat step: equal
+    microbatches + mean losses make the averaged gradient equal the
+    full-batch gradient. Deterministic 'Learned' initializer so the
+    per-microbatch rng split cannot change the forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from textocvp_tpu.train.trainer import DecompTrainer
+
+    tmp_path = tmp_path_factory.mktemp("accum")
+    videos = np.random.default_rng(0).uniform(
+        0, 1, (8, 4, 16, 16, 3)).astype(np.float32)
+    rng = jax.random.PRNGKey(3)
+
+    results = {}
+    for accum in (1, 4):
+        exp = _tiny_exp(tmp_path, name=f"exp_a{accum}")
+        params = exp.params
+        params["model"]["model_params"]["initializer"] = "Learned"
+        params["training"]["accum_steps"] = accum
+        exp.save_params(params)
+        tr = DecompTrainer(exp.exp_path)
+        tr.setup_model(videos)
+        new_params, _, _, values = tr.train_step(
+            tr.params, tr.batch_stats, tr.opt_state, jnp.asarray(videos), rng)
+        results[accum] = (new_params, float(values["_total"]))
+
+    np.testing.assert_allclose(results[4][1], results[1][1], rtol=1e-5)
+    flat1 = jax.tree_util.tree_leaves(results[1][0])
+    flat4 = jax.tree_util.tree_leaves(results[4][0])
+    for a, b in zip(flat1, flat4):
+        # atol bounds the rare first-step adam sign flip on near-zero grads
+        # (update magnitude <= warmup lr); rtol covers everything else
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-4)
+
+
+def test_accum_ragged_batch_falls_back_to_flat(tmp_path_factory):
+    """A final ragged batch (size not divisible by accum_steps) must run via
+    the flat step instead of crashing."""
+    import jax
+    import jax.numpy as jnp
+
+    from textocvp_tpu.train.trainer import DecompTrainer
+
+    tmp_path = tmp_path_factory.mktemp("accum_ragged")
+    exp = _tiny_exp(tmp_path, name="exp_ragged")
+    params = exp.params
+    params["training"]["accum_steps"] = 4
+    exp.save_params(params)
+    videos = np.random.default_rng(0).uniform(
+        0, 1, (8, 4, 16, 16, 3)).astype(np.float32)
+    tr = DecompTrainer(exp.exp_path)
+    tr.setup_model(videos)
+    ragged = jnp.asarray(videos[:6])  # 6 % 4 != 0
+    _, _, _, values = tr.train_step(
+        tr.params, tr.batch_stats, tr.opt_state, ragged, jax.random.PRNGKey(0))
+    assert np.isfinite(float(values["_total"]))
+
+
+def test_accum_steps_must_divide_batch_size(tmp_path_factory):
+    from textocvp_tpu.train.trainer import DecompTrainer
+
+    tmp_path = tmp_path_factory.mktemp("accum_bad")
+    exp = _tiny_exp(tmp_path, name="exp_bad")
+    params = exp.params
+    params["training"]["accum_steps"] = 3  # does not divide batch_size 8
+    exp.save_params(params)
+    videos = np.random.default_rng(0).uniform(
+        0, 1, (8, 4, 16, 16, 3)).astype(np.float32)
+    tr = DecompTrainer(exp.exp_path)
+    with pytest.raises(ValueError, match="accum_steps"):
+        tr.setup_model(videos)
+
+
+def test_predictor_accum_step_matches_flat(tmp_path_factory):
+    """Predictor-trainer gradient accumulation: same loss as the flat fused
+    step from identical init/batch (deterministic 'Learned' slot initializer
+    in the frozen parent so microbatch rngs cannot change the slots)."""
+    import jax
+    import jax.numpy as jnp
+
+    from textocvp_tpu.train.predictor_trainer import PredictorTrainer
+    from textocvp_tpu.train.trainer import DecompTrainer
+
+    tmp_path = tmp_path_factory.mktemp("pred_accum")
+    exp = _tiny_exp(tmp_path, name="parent")
+    params = exp.params
+    params["model"]["model_params"]["initializer"] = "Learned"
+    params["training"]["num_epochs"] = 0  # init-only: materialize final ckpt
+    exp.save_params(params)
+    trainer = DecompTrainer(exp.exp_path)
+    trainer.load_data()
+    videos, _ = next(iter(trainer.train_loader))
+    trainer.setup_model(videos)
+    trainer.training_loop()
+
+    losses = {}
+    for accum in (1, 2):
+        pred_exp = Experiment.create_predictor(
+            exp.exp_path, f"pa{accum}", "TextOCVP_CustomTF")
+        pparams = pred_exp.params
+        pp = pparams["predictor"]["predictor_params"]
+        pp["predictor_params"].update(token_dim=32, n_heads=2, hidden_dim=32,
+                                      num_layers=1)
+        pp["fusion_params"].update(num_heads=2, head_dim=8, mlp_size=32)
+        pp["text_encoder_params"].update(input_dim=16, num_layers=1,
+                                         num_heads=2, vocab_size=16)
+        pparams["training"].update(batch_size=8, accum_steps=accum)
+        pred_exp.save_params(pparams)
+        tr = PredictorTrainer(pred_exp.exp_path, decomp_ckpt="checkpoint_epoch_final")
+        tr.load_data()
+        videos, others = next(iter(tr.train_loader))
+        tr.setup_model(videos, others)
+        from textocvp_tpu.train.predictor_trainer import _text_kwargs
+
+        _, _, values = tr.train_step(
+            tr.params, tr.opt_state, jnp.asarray(videos), jax.random.PRNGKey(5),
+            **_text_kwargs(others))
+        losses[accum] = float(values["_total"])
+    assert np.isfinite(losses[2])
+    np.testing.assert_allclose(losses[2], losses[1], rtol=1e-5)
+
+
+def test_accum_step_matches_flat_sharded_microbatches(tmp_path_factory):
+    """accum=2 at batch 16 on the 8-device mesh: microbatches (2, 8, ...) hit
+    the with_sharding_constraint path (micro_b % data_axis == 0) and must
+    still match the flat step's loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from textocvp_tpu.train.trainer import DecompTrainer
+
+    tmp_path = tmp_path_factory.mktemp("accum_shard")
+    videos = np.random.default_rng(1).uniform(
+        0, 1, (16, 4, 16, 16, 3)).astype(np.float32)
+    rng = jax.random.PRNGKey(7)
+    losses = {}
+    for accum in (1, 2):
+        exp = _tiny_exp(tmp_path, name=f"exp_s{accum}")
+        params = exp.params
+        params["model"]["model_params"]["initializer"] = "Learned"
+        params["training"].update(batch_size=16, accum_steps=accum)
+        exp.save_params(params)
+        tr = DecompTrainer(exp.exp_path)
+        assert tr.mesh.shape["data"] > 1  # the sharded path is what we test
+        tr.setup_model(videos)
+        _, _, _, values = tr.train_step(
+            tr.params, tr.batch_stats, tr.opt_state, jnp.asarray(videos), rng)
+        losses[accum] = float(values["_total"])
+    np.testing.assert_allclose(losses[2], losses[1], rtol=1e-5)

@@ -228,8 +228,11 @@ class PredictorTrainer:
 
         use_remat = bool((self.exp_params.get("tpu") or {}).get("remat", False))
 
-        @partial(jax.jit, static_argnames=("tf",), donate_argnums=(0, 1))
-        def train_step(params, opt_state, videos, rng, tf, **text_kwargs):
+        from textocvp_tpu.train.trainer import accum_steps_of, microbatch_sharding
+
+        constrain_micro = microbatch_sharding(self.mesh)
+
+        def micro_grads(params, videos, rng, text_kwargs, tf):
             def loss_of(q, v):
                 return forward_loss(q, v, rng, text_kwargs, tf)
 
@@ -241,6 +244,37 @@ class PredictorTrainer:
             (_, values), grads = jax.value_and_grad(
                 lambda q: loss_of(q, videos), has_aux=True
             )(params)
+            return grads, values
+
+        @partial(jax.jit, static_argnames=("tf", "accum"), donate_argnums=(0, 1))
+        def train_step(params, opt_state, videos, rng, tf, accum=1, **text_kwargs):
+            if accum == 1:
+                grads, values = micro_grads(params, videos, rng, text_kwargs, tf)
+            else:
+                # gradient accumulation (training.accum_steps): sequential
+                # equal-sized microbatches inside ONE jitted step, averaged
+                # gradient, one optimizer update — effective-batch parity
+                # with the reference's global batch where the flat fused
+                # step exceeds HBM or toolchain limits (docs/PERFORMANCE.md
+                # "Training side" finding 2).
+                mb = videos.shape[0] // accum
+                vr = constrain_micro(videos.reshape(accum, mb, *videos.shape[1:]))
+                tk = {
+                    k: constrain_micro(v.reshape(accum, mb, *v.shape[1:]))
+                    for k, v in text_kwargs.items()
+                }
+                keys = jax.random.split(rng, accum)
+
+                def body(g_acc, xs):
+                    v, r, t = xs
+                    g, vals = micro_grads(params, v, r, t, tf)
+                    return jax.tree_util.tree_map(jnp.add, g_acc, g), vals
+
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+                g_sum, vals_stack = jax.lax.scan(body, zeros, (vr, keys, tk))
+                grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+                values = jax.tree_util.tree_map(
+                    lambda v: jnp.mean(v, axis=0), vals_stack)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, values
@@ -250,8 +284,16 @@ class PredictorTrainer:
             _, values = forward_loss(params, videos, rng, text_kwargs, tf)
             return values
 
-        self.train_step = lambda params, opt_state, videos, rng, **tk: train_step(
-            params, opt_state, videos, rng, teacher_force, **tk)
+        accum = accum_steps_of(self.training_params)
+
+        def train_step_accum(params, opt_state, videos, rng, **tk):
+            # ragged final batches fall back to the flat step — accumulation
+            # needs equal-sized microbatches
+            a = accum if videos.shape[0] % accum == 0 else 1
+            return train_step(params, opt_state, videos, rng, teacher_force,
+                              accum=a, **tk)
+
+        self.train_step = train_step_accum
         self.valid_step = lambda params, videos, rng, **tk: valid_step(
             params, videos, rng, False, **tk)
 

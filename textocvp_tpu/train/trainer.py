@@ -43,6 +43,45 @@ from textocvp_tpu.train.losses import build_loss_fn
 from textocvp_tpu.train.schedulers import build_optimizer
 
 
+def accum_steps_of(training_params: dict) -> int:
+    """Validated ``training.accum_steps`` (gradient accumulation; default 1).
+
+    Effective-batch parity knob: the optimizer sees ONE averaged gradient per
+    global batch of ``batch_size`` sequences, but the forward/backward runs as
+    ``accum_steps`` sequential microbatches inside the same jitted step — peak
+    activation memory drops ~accum_steps-fold, letting a single chip train at
+    the reference's global batch 64 where the flat step OOMs (ExtendedDINOSAUR
+    B=16) or exceeds toolchain limits (predictor step B>=32 on the remote
+    compile service, docs/PERFORMANCE.md "Training side")."""
+    accum = int(training_params.get("accum_steps", 1) or 1)
+    if accum < 1:
+        raise ValueError(f"training.accum_steps must be >= 1, got {accum}")
+    bs = training_params["batch_size"]
+    if bs % accum:
+        raise ValueError(
+            f"training.accum_steps ({accum}) must divide batch_size ({bs}) "
+            "so microbatches are equal-sized (equal sizes are what make the "
+            "averaged gradient equal the full-batch gradient)")
+    return accum
+
+
+def microbatch_sharding(mesh):
+    """Sharding constraint keeping (accum, micro_b, ...) microbatches split
+    over the data axis: a contiguous reshape of a data-sharded batch would
+    otherwise land the sharding on the accum (scan) axis and force an
+    all-gather per step."""
+    import jax.sharding as shd
+
+    def constrain(x):
+        d = mesh.shape["data"]
+        if d > 1 and x.ndim >= 2 and x.shape[1] % d == 0:
+            return jax.lax.with_sharding_constraint(
+                x, shd.NamedSharding(mesh, shd.PartitionSpec(None, "data")))
+        return x
+
+    return constrain
+
+
 def freeze_labels(params, frozen_prefixes: tuple[str, ...]):
     """Label pytree for optax.multi_transform: 'freeze' for frozen subtrees."""
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
@@ -185,8 +224,12 @@ class DecompTrainer:
                               **kwargs)
             return out, batch_stats
 
-        @partial(jax.jit, donate_argnums=(0, 1, 2))
-        def train_step(params, batch_stats, opt_state, videos, rng):
+        constrain_micro = microbatch_sharding(self.mesh)
+
+        def micro_grads(params, batch_stats, videos, rng):
+            """Gradient/loss of ONE (micro)batch — both the flat step and the
+            accumulation scan body."""
+
             def fwd(p, v):
                 return forward(p, batch_stats, v, rng, train=True)
 
@@ -198,7 +241,38 @@ class DecompTrainer:
                 total, values = loss_fn(**self._loss_tensors(out, videos))
                 return total, (values, new_bs)
 
-            (_, (values, new_bs)), grads = jax.value_and_grad(loss_of, has_aux=True)(params)
+            (_, (values, new_bs)), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(params)
+            return grads, values, new_bs
+
+        @partial(jax.jit, static_argnames=("accum",), donate_argnums=(0, 1, 2))
+        def train_step(params, batch_stats, opt_state, videos, rng, accum=1):
+            if accum == 1:
+                grads, values, new_bs = micro_grads(params, batch_stats, videos, rng)
+            else:
+                # gradient accumulation: scan over equal-sized microbatches,
+                # average the gradients, apply ONE optimizer update. The
+                # per-microbatch losses are batch MEANS over equal sizes, so
+                # the averaged gradient equals the full-batch gradient
+                # (tests/test_train_e2e.py::test_accum_step_matches_flat);
+                # batch_stats thread sequentially (BN sees accum minibatches).
+                mb = videos.shape[0] // accum
+                vr = constrain_micro(videos.reshape(accum, mb, *videos.shape[1:]))
+                keys = jax.random.split(rng, accum)
+
+                def body(carry, xs):
+                    bs, g_acc = carry
+                    v, r = xs
+                    g, vals, bs = micro_grads(params, bs, v, r)
+                    g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                    return (bs, g_acc), vals
+
+                zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+                (new_bs, g_sum), vals_stack = jax.lax.scan(
+                    body, (batch_stats, zeros), (vr, keys))
+                grads = jax.tree_util.tree_map(lambda g: g / accum, g_sum)
+                values = jax.tree_util.tree_map(
+                    lambda v: jnp.mean(v, axis=0), vals_stack)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, new_bs, opt_state, values
@@ -214,7 +288,17 @@ class DecompTrainer:
             out, _ = forward(params, batch_stats, videos, rng, train=False)
             return out
 
-        self.train_step = train_step
+        accum = accum_steps_of(self.training_params)
+
+        def train_step_accum(params, batch_stats, opt_state, videos, rng):
+            # ragged final batches (dataset size % batch_size != 0) fall back
+            # to the flat step — accumulation needs equal-sized microbatches
+            a = accum if videos.shape[0] % accum == 0 else 1
+            return train_step(params, batch_stats, opt_state, videos, rng, accum=a)
+
+        self.train_step = train_step_accum
+        # raw jit object, for HLO-level sharding inspection (tests) and AOT
+        self._train_step_jit = train_step
         self.valid_step = valid_step
         self.valid_forward = valid_forward
 
