@@ -389,3 +389,34 @@ def test_accum_step_matches_flat_sharded_microbatches(tmp_path_factory):
             tr.params, tr.batch_stats, tr.opt_state, jnp.asarray(videos), rng)
         losses[accum] = float(values["_total"])
     np.testing.assert_allclose(losses[2], losses[1], rtol=1e-5)
+
+
+def test_async_checkpoint_training(tmp_path_factory):
+    """tpu.async_checkpoint=true: the full training loop saves through the
+    background writer; all cadence files exist, are complete (flush before
+    return), and the final checkpoint restores."""
+    from textocvp_tpu.train.checkpoints import load_checkpoint
+    from textocvp_tpu.train.trainer import DecompTrainer
+
+    tmp_path = tmp_path_factory.mktemp("async_ckpt")
+    exp = _tiny_exp(tmp_path, name="exp_async")
+    params = exp.params
+    params.setdefault("tpu", {})["async_checkpoint"] = True
+    exp.save_params(params)
+
+    trainer = DecompTrainer(exp.exp_path)
+    trainer.load_data()
+    videos, _ = next(iter(trainer.train_loader))
+    trainer.setup_model(videos)
+    trainer.training_loop()
+
+    names = {m.stem for m in exp.models_dir.glob("*.msgpack")}
+    assert {"checkpoint_last_saved", "checkpoint_epoch_final",
+            "checkpoint_epoch_1", "checkpoint_epoch_2"} <= names
+    final = load_checkpoint(exp.models_dir / "checkpoint_epoch_final.msgpack")
+    assert final["epoch"] == 2
+    import jax
+
+    for a, b in zip(jax.tree_util.tree_leaves(final["params"]),
+                    jax.tree_util.tree_leaves(trainer.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

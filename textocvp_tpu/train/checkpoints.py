@@ -50,6 +50,87 @@ def save_checkpoint(models_dir, name: str, state: dict) -> Path:
     return path
 
 
+class AsyncCheckpointWriter:
+    """Background-thread checkpoint writer (``tpu.async_checkpoint``).
+
+    The reference blocks its train loop on every ``torch.save``
+    (setup_model.py:142-186). Here the loop pays only for the device->host
+    fetch; msgpack serialization and the (atomic) disk write happen on a
+    worker thread, overlapped with the next epoch's compute.
+
+    The D2H fetch MUST stay synchronous: the train step donates its input
+    buffers, so the params arrays captured for a checkpoint are invalidated
+    the moment the next step is dispatched — ``save`` snapshots them to host
+    numpy before returning.
+
+    One writer thread => saves land in submission order (``last_saved`` can
+    never be overwritten by an older state). A failed write re-raises on the
+    next ``save``/``wait`` so checkpoint loss is never silent.
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q = queue.Queue()
+        self._error = None
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            models_dir, name, host_state = item
+            try:
+                save_checkpoint(models_dir, name, host_state)
+            except BaseException as e:  # surfaced on next save()/wait()
+                self._error = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def save(self, models_dir, name: str, state: dict):
+        self._check()
+        # true snapshot, not _to_host: np.asarray aliases numpy leaves, and an
+        # aliased buffer could be mutated (or a jax buffer donated away)
+        # before the worker serializes it
+        snap = jax.tree_util.tree_map(
+            lambda x: np.array(x) if isinstance(x, (jax.Array, np.ndarray)) else x,
+            state)
+        self._q.put((models_dir, name, snap))
+
+    def wait(self):
+        """Block until every submitted checkpoint is on disk."""
+        self._q.join()
+        self._check()
+
+    def close(self):
+        self.wait()
+        self._q.put(None)
+        self._thread.join()
+
+
+def make_checkpoint_saver(exp_params: dict, models_dir):
+    """(save, flush) pair honoring ``tpu.async_checkpoint``.
+
+    ``save(name, state)`` returns after the D2H snapshot when async (write
+    happens on the worker thread) or after the full write when sync.
+    ``flush()`` blocks until everything submitted is durable on disk — call
+    it before reading checkpoints back or exiting."""
+    if (exp_params.get("tpu") or {}).get("async_checkpoint"):
+        writer = AsyncCheckpointWriter()
+        return (lambda name, state: writer.save(models_dir, name, state),
+                writer.wait)
+    return (lambda name, state: save_checkpoint(models_dir, name, state),
+            lambda: None)
+
+
 def load_checkpoint(path, target: Optional[dict] = None) -> dict:
     """Restore a checkpoint. With ``target``, structure/dtypes are restored
     onto it (needed for optimizer state namedtuples); otherwise raw dicts."""

@@ -404,6 +404,12 @@ class DecompTrainer:
         num_epochs = self.training_params["num_epochs"]
         save_freq = self.training_params.get("save_frequency", 25)
         epoch = self.start_epoch
+        # tpu.async_checkpoint: serialization+disk on a worker thread, the
+        # loop only pays for the D2H snapshot (checkpoints.py)
+        from textocvp_tpu.train.checkpoints import make_checkpoint_saver
+
+        save_ckpt, flush_ckpts = make_checkpoint_saver(
+            self.exp_params, self.exp.models_dir)
         try:
             for epoch in range(self.start_epoch, num_epochs):
                 t0 = time.time()
@@ -414,17 +420,20 @@ class DecompTrainer:
                     f"Epoch {epoch + 1}/{num_epochs}: train={train_loss:.6f} "
                     f"valid={val_loss:.6f} ({dt:.1f}s)"
                 )
-                save_checkpoint(self.exp.models_dir, "checkpoint_last_saved",
-                                self._state(epoch + 1))
+                save_ckpt("checkpoint_last_saved", self._state(epoch + 1))
                 if (epoch + 1) % save_freq == 0:
-                    save_checkpoint(self.exp.models_dir, f"checkpoint_epoch_{epoch + 1}",
-                                    self._state(epoch + 1))
+                    save_ckpt(f"checkpoint_epoch_{epoch + 1}", self._state(epoch + 1))
                 if profile_dir and epoch == self.start_epoch:
                     jax.profiler.stop_trace()
                     profile_dir = None
-            save_checkpoint(self.exp.models_dir, "checkpoint_epoch_final",
-                            self._state(num_epochs))
+            save_ckpt("checkpoint_epoch_final", self._state(num_epochs))
+            flush_ckpts()
         except (Exception, KeyboardInterrupt) as e:
+            try:
+                flush_ckpts()  # drain pending async writes first, best-effort
+            except Exception as flush_err:
+                print_(f"async checkpoint flush failed during emergency "
+                       f"handling: {flush_err}", "error")
             save_checkpoint(self.exp.models_dir, f"emergency_checkpoint_epoch_{epoch}",
                             self._state(epoch))
             from textocvp_tpu.core import logger as _logger
