@@ -256,3 +256,46 @@ def test_serve_cli_rejects_tp_without_mesh(tmp_path):
         serve_args(base + ["--mesh_model", "2"])
     args = serve_args(base + ["--mesh_data", "-1", "--mesh_model", "2"])
     assert args.mesh_model == 2 and args.mesh_data == -1
+
+
+def test_autotuned_service_matches_plain(served_exp, service):
+    """tpu.decode_autotune on a service: the first request measures the
+    candidate decode schedules and the winner must reproduce the plain
+    service's predictions exactly (every candidate is the same math)."""
+    import json
+
+    from textocvp_tpu.serve import PredictionService
+
+    # the service reads the NESTED predictor experiment's params
+    params_path = served_exp / "predictors" / "tiny_tf" / "experiment_params.json"
+    original = params_path.read_text()
+    p = json.loads(original)
+    p.setdefault("tpu", {})["decode_autotune"] = True
+    params_path.write_text(json.dumps(p))
+    try:
+        tuned = PredictionService(
+            served_exp, "tiny_tf",
+            decomp_ckpt="checkpoint_epoch_final",
+            pred_ckpt="checkpoint_epoch_final",
+            batch_size=2, max_tokens=8)
+    finally:
+        params_path.write_text(original)
+
+    frames = np.random.default_rng(3).random((2, 1, RES, RES, 3), np.float32)
+    caps = ["the cone is rotating", "the snitch is sliding"]
+    service._counter = tuned._counter = 777  # same rng stream
+    a = service.predict(frames, caps)
+    service._counter = tuned._counter = 777
+    b = tuned.predict(frames, caps)  # triggers the autotune measurement
+    np.testing.assert_array_equal(a, b)
+    service._counter = tuned._counter = 778
+    a2 = service.predict(frames, caps)
+    service._counter = tuned._counter = 778
+    b2 = tuned.predict(frames, caps)  # winner reused
+    np.testing.assert_array_equal(a2, b2)
+
+    # AOT export refuses the autotuned service with a clear message
+    from textocvp_tpu.serve.export import export_service
+
+    with pytest.raises(ValueError, match="decode_autotune"):
+        export_service(tuned, "/tmp/should_not_exist_export")

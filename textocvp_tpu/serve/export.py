@@ -52,6 +52,11 @@ def export_service(service, out_dir) -> Path:
         raise ValueError(
             "service weights exceed the constant-bake limit; AOT export "
             "requires the baked configuration (see models/chunked.py)")
+    if getattr(service._decode_stage, "lower", None) is None:
+        raise ValueError(
+            "the decode stage is not a plain jitted function — build the "
+            "service without tpu.decode_autotune to export (the exported "
+            "artifact is a single fixed schedule by design)")
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)

@@ -286,10 +286,11 @@ class PredictionService(InferenceFrontend):
             return predictor.apply(pv, out["slot_history"], num_preds=p,
                                    teacher_force=False, **text_kwargs)
 
-        def _decode(mv, pred_slots):
+        def _decode(mv, pred_slots, tail_chunks=tail_chunks, tail_unroll=None):
             b = pred_slots.shape[0]
             dec = model.apply(mv, pred_slots.reshape(b * p, s, d),
-                              method="decode", tail_chunks=tail_chunks)
+                              method="decode", tail_chunks=tail_chunks,
+                              tail_unroll=tail_unroll)
             imgs = jnp.clip(dec["recons_imgs"], 0.0, 1.0)
             # quantize ON DEVICE: the serving wire format is uint8 anyway,
             # and fetching uint8 instead of float32 is 4x less D2H traffic
@@ -305,8 +306,36 @@ class PredictionService(InferenceFrontend):
         bake_p = should_bake_constants(pred_vars)
         pj = jax.jit(partial(_predict, model_vars, pred_vars)) if (bake_m and bake_p) \
             else jax.jit(_predict)
-        dj = jax.jit(partial(_decode, model_vars)) if bake_m else jax.jit(_decode)
         self._predict_stage = pj if (bake_m and bake_p) else (
             lambda videos, key, **kw: pj(model_vars, pred_vars, videos, key, **kw))
-        self._decode_stage = dj if bake_m else (lambda ps: dj(model_vars, ps))
+
+        def make_decode_stage(tail_chunks=tail_chunks, tail_unroll=None):
+            d_ = partial(_decode, tail_chunks=tail_chunks, tail_unroll=tail_unroll)
+            dj = jax.jit(partial(d_, model_vars)) if bake_m else jax.jit(d_)
+            return dj if bake_m else (lambda ps: dj(model_vars, ps))
+
+        # opt-in runtime decode-schedule autotune (tpu.decode_autotune): a
+        # long-lived service at a fixed padded batch shape amortizes the
+        # per-candidate compile best — candidates are measured on the first
+        # request (usually warmup()) and the winner serves from then on.
+        # Same wiring as the evaluators (models/autotune.py).
+        from textocvp_tpu.models.autotune import autotune_enabled, autotuned_stage
+
+        if autotune_enabled(self.exp_params):
+            from textocvp_tpu.core.logger import print_
+            from textocvp_tpu.models.chunked import decode_candidate_schedules
+
+            cfg_chunks = (self.exp_params.get("tpu") or {}).get("decode_chunks")
+
+            def schedules_of(pred_slots):
+                return decode_candidate_schedules(
+                    pred_slots.shape[0] * p, s, configured_chunks=cfg_chunks)
+
+            def sync(imgs):
+                np.asarray(imgs)  # full output fetch = the real serving cost
+
+            self._decode_stage = autotuned_stage(
+                make_decode_stage, schedules_of, sync, log=print_)
+        else:
+            self._decode_stage = make_decode_stage()
 
