@@ -4,6 +4,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from textocvp_tpu.train.checkpoints import checkpoint_path, load_checkpoint, save_checkpoint
 
@@ -127,3 +128,24 @@ def test_make_checkpoint_saver_sync_and_async(tmp_path):
     save("b", state)
     flush()
     assert (tmp_path / "async" / "b.msgpack").exists()
+
+
+def test_async_saver_flush_retires_worker_thread(tmp_path):
+    """flush() must retire the writer thread (a process running several
+    training loops must not accumulate blocked daemon threads), be
+    idempotent, and reject saves submitted after it."""
+    import threading
+
+    from textocvp_tpu.train.checkpoints import make_checkpoint_saver
+
+    state = {"params": {"w": jnp.ones(2)}, "batch_stats": {},
+             "opt_state": {}, "epoch": 1, "step": 1}
+    before = threading.active_count()
+    save, flush = make_checkpoint_saver(
+        {"tpu": {"async_checkpoint": True}}, tmp_path)
+    save("c", state)
+    flush()
+    flush()  # second flush (emergency path after a failed epoch) is a no-op
+    assert threading.active_count() == before
+    with pytest.raises(RuntimeError, match="closed"):
+        save("d", state)

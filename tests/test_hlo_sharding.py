@@ -190,3 +190,31 @@ def test_dp_accum_step_keeps_microbatches_sharded(tmp_path):
         "replicated execution")
     assert _count(hlo, "collective-permute") <= 1, (
         "more than the single expected microbatch-reshard permute")
+
+
+def test_microbatch_sharding_spans_hybrid_batch_axes():
+    """On a hybrid (dcn, data) multi-host mesh the microbatch constraint must
+    pin BOTH batch axes: constraining only 'data' would replicate every
+    microbatch across the dcn (cross-host) axis — a per-step cross-host
+    all-gather of the batch, the exact collective the helper exists to
+    prevent."""
+    import jax.sharding as shd
+
+    from textocvp_tpu.parallel.distributed import get_hybrid_mesh
+    from textocvp_tpu.train.trainer import microbatch_sharding
+
+    mesh = get_hybrid_mesh(data=4, model=1, dcn=2)
+    constrain = microbatch_sharding(mesh)
+    batch_spec = shd.NamedSharding(mesh, shd.PartitionSpec(("dcn", "data")))
+
+    def reshaped(videos):
+        # (16, 3, 8, 8, 3) batch -> (accum=2, mb=8, ...) microbatches
+        return constrain(videos.reshape(2, 8, *videos.shape[1:])).sum()
+
+    videos = jnp.ones((16, 3, 8, 8, 3))
+    videos = jax.device_put(videos, batch_spec)
+    with mesh:
+        hlo = jax.jit(reshaped).lower(videos).compile().as_text()
+    assert _count(hlo, "all-gather") == 0, (
+        "hybrid-mesh microbatch reshape all-gathers the batch — the "
+        "constraint is not covering the dcn axis")

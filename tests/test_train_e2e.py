@@ -275,9 +275,10 @@ def test_accum_step_matches_flat(tmp_path_factory):
                                    rtol=1e-3, atol=2e-4)
 
 
-def test_accum_ragged_batch_falls_back_to_flat(tmp_path_factory):
-    """A final ragged batch (size not divisible by accum_steps) must run via
-    the flat step instead of crashing."""
+def test_accum_ragged_batch_keeps_microbatch_bound(tmp_path_factory):
+    """A final ragged batch (size not divisible by accum_steps) must still
+    run microbatched — never a near-full flat step, which is exactly the
+    shape accumulation exists to avoid (HBM/toolchain limits)."""
     import jax
     import jax.numpy as jnp
 
@@ -296,6 +297,33 @@ def test_accum_ragged_batch_falls_back_to_flat(tmp_path_factory):
     _, _, _, values = tr.train_step(
         tr.params, tr.batch_stats, tr.opt_state, ragged, jax.random.PRNGKey(0))
     assert np.isfinite(float(values["_total"]))
+
+
+def test_ragged_accum_policy():
+    """ragged_accum picks the smallest divisor whose microbatch fits the
+    configured microbatch size (batch_size // accum)."""
+    from textocvp_tpu.train.trainer import ragged_accum
+
+    assert ragged_accum(64, 8, 64) == 8        # clean batch: unchanged
+    assert ragged_accum(36, 8, 64) == 6        # 36 -> 6 microbatches of 6 (<= 8)
+    assert ragged_accum(35, 4, 64) == 5        # 35 -> 5 microbatches of 7 (<= 16)
+    assert ragged_accum(37, 8, 64) == 37       # prime: size-1 microbatches
+    assert ragged_accum(3, 8, 64) == 1         # tiny tail fits flat
+    # never exceeds the configured microbatch size
+    for n in range(1, 65):
+        a = ragged_accum(n, 8, 64)
+        assert n % a == 0 and n // a <= 8
+
+
+def test_accum_steps_zero_raises():
+    """accum_steps=0 (a typo, not a request for the default) must raise, not
+    silently train unaccumulated."""
+    from textocvp_tpu.train.trainer import accum_steps_of
+
+    with pytest.raises(ValueError, match="accum_steps"):
+        accum_steps_of({"accum_steps": 0, "batch_size": 8})
+    assert accum_steps_of({"batch_size": 8}) == 1
+    assert accum_steps_of({"accum_steps": None, "batch_size": 8}) == 1
 
 
 def test_accum_steps_must_divide_batch_size(tmp_path_factory):

@@ -66,14 +66,20 @@ class AsyncCheckpointWriter:
     One writer thread => saves land in submission order (``last_saved`` can
     never be overwritten by an older state). A failed write re-raises on the
     next ``save``/``wait`` so checkpoint loss is never silent.
+
+    The queue is bounded (2 snapshots): each item is a full host copy of
+    params+opt_state (~hundreds of MB at ViT-B scale), so if epochs outpace
+    the disk, ``save`` backpressures to roughly sync behavior instead of
+    growing host memory without bound.
     """
 
     def __init__(self):
         import queue
         import threading
 
-        self._q = queue.Queue()
+        self._q = queue.Queue(maxsize=2)
         self._error = None
+        self._closed = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -96,6 +102,8 @@ class AsyncCheckpointWriter:
             raise RuntimeError("async checkpoint write failed") from err
 
     def save(self, models_dir, name: str, state: dict):
+        if self._closed:
+            raise RuntimeError("AsyncCheckpointWriter is closed")
         self._check()
         # true snapshot, not _to_host: np.asarray aliases numpy leaves, and an
         # aliased buffer could be mutated (or a jax buffer donated away)
@@ -111,7 +119,10 @@ class AsyncCheckpointWriter:
         self._check()
 
     def close(self):
+        if self._closed:
+            return
         self.wait()
+        self._closed = True
         self._q.put(None)
         self._thread.join()
 
@@ -121,12 +132,14 @@ def make_checkpoint_saver(exp_params: dict, models_dir):
 
     ``save(name, state)`` returns after the D2H snapshot when async (write
     happens on the worker thread) or after the full write when sync.
-    ``flush()`` blocks until everything submitted is durable on disk — call
-    it before reading checkpoints back or exiting."""
+    ``flush()`` blocks until everything submitted is durable on disk AND
+    retires the worker thread — call it exactly once, when training ends
+    (further ``save`` calls raise; the trainers' emergency path saves via
+    the sync ``save_checkpoint`` after flushing)."""
     if (exp_params.get("tpu") or {}).get("async_checkpoint"):
         writer = AsyncCheckpointWriter()
         return (lambda name, state: writer.save(models_dir, name, state),
-                writer.wait)
+                writer.close)
     return (lambda name, state: save_checkpoint(models_dir, name, state),
             lambda: None)
 

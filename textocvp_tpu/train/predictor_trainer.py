@@ -228,7 +228,11 @@ class PredictorTrainer:
 
         use_remat = bool((self.exp_params.get("tpu") or {}).get("remat", False))
 
-        from textocvp_tpu.train.trainer import accum_steps_of, microbatch_sharding
+        from textocvp_tpu.train.trainer import (
+            accum_steps_of,
+            microbatch_sharding,
+            ragged_accum,
+        )
 
         constrain_micro = microbatch_sharding(self.mesh)
 
@@ -285,11 +289,10 @@ class PredictorTrainer:
             return values
 
         accum = accum_steps_of(self.training_params)
+        bs = self.training_params["batch_size"]
 
         def train_step_accum(params, opt_state, videos, rng, **tk):
-            # ragged final batches fall back to the flat step — accumulation
-            # needs equal-sized microbatches
-            a = accum if videos.shape[0] % accum == 0 else 1
+            a = ragged_accum(videos.shape[0], accum, bs)
             return train_step(params, opt_state, videos, rng, teacher_force,
                               accum=a, **tk)
 
@@ -408,7 +411,9 @@ class PredictorTrainer:
         except (Exception, KeyboardInterrupt) as e:
             try:
                 flush_ckpts()  # drain pending async writes first, best-effort
-            except Exception as flush_err:
+            except BaseException as flush_err:
+                # BaseException: a second Ctrl-C during the flush must not
+                # skip the emergency checkpoint
                 print_(f"async checkpoint flush failed during emergency "
                        f"handling: {flush_err}", "error")
             save_checkpoint(self.exp.models_dir, f"emergency_checkpoint_epoch_{epoch}",

@@ -53,7 +53,8 @@ def accum_steps_of(training_params: dict) -> int:
     the reference's global batch 64 where the flat step OOMs (ExtendedDINOSAUR
     B=16) or exceeds toolchain limits (predictor step B>=32 on the remote
     compile service, docs/PERFORMANCE.md "Training side")."""
-    accum = int(training_params.get("accum_steps", 1) or 1)
+    raw = training_params.get("accum_steps")
+    accum = 1 if raw is None else int(raw)
     if accum < 1:
         raise ValueError(f"training.accum_steps must be >= 1, got {accum}")
     bs = training_params["batch_size"]
@@ -65,18 +66,39 @@ def accum_steps_of(training_params: dict) -> int:
     return accum
 
 
+def ragged_accum(n: int, accum: int, batch_size: int) -> int:
+    """Accumulation factor for a (possibly ragged) batch of ``n`` sequences.
+
+    Accumulation exists because the FLAT step does not fit (HBM or toolchain
+    limits), so the ragged final batch of an epoch (drop_last is false,
+    reference-DataLoader parity) must never fall back to a near-full flat
+    step. Picks the smallest divisor of ``n`` whose microbatch still fits
+    the configured microbatch size (``batch_size // accum``); worst case
+    (``n`` prime) degrades to size-1 microbatches for that one batch rather
+    than OOMing."""
+    if n % accum == 0:
+        return accum
+    mb = max(1, batch_size // accum)
+    return min(d for d in range(1, n + 1) if n % d == 0 and n // d <= mb)
+
+
 def microbatch_sharding(mesh):
     """Sharding constraint keeping (accum, micro_b, ...) microbatches split
-    over the data axis: a contiguous reshape of a data-sharded batch would
+    over the batch axes: a contiguous reshape of a data-sharded batch would
     otherwise land the sharding on the accum (scan) axis and force an
-    all-gather per step."""
+    all-gather per step. Batch axes are ('dcn', 'data') on hybrid multi-host
+    meshes — constraining only 'data' there would replicate every microbatch
+    across hosts, the exact collective this helper exists to prevent."""
     import jax.sharding as shd
 
+    from textocvp_tpu.parallel.mesh import _batch_axes, _batch_axis_size
+
     def constrain(x):
-        d = mesh.shape["data"]
+        d = _batch_axis_size(mesh)
         if d > 1 and x.ndim >= 2 and x.shape[1] % d == 0:
             return jax.lax.with_sharding_constraint(
-                x, shd.NamedSharding(mesh, shd.PartitionSpec(None, "data")))
+                x, shd.NamedSharding(mesh,
+                                     shd.PartitionSpec(None, _batch_axes(mesh))))
         return x
 
     return constrain
@@ -289,11 +311,10 @@ class DecompTrainer:
             return out
 
         accum = accum_steps_of(self.training_params)
+        bs = self.training_params["batch_size"]
 
         def train_step_accum(params, batch_stats, opt_state, videos, rng):
-            # ragged final batches (dataset size % batch_size != 0) fall back
-            # to the flat step — accumulation needs equal-sized microbatches
-            a = accum if videos.shape[0] % accum == 0 else 1
+            a = ragged_accum(videos.shape[0], accum, bs)
             return train_step(params, batch_stats, opt_state, videos, rng, accum=a)
 
         self.train_step = train_step_accum
@@ -431,7 +452,9 @@ class DecompTrainer:
         except (Exception, KeyboardInterrupt) as e:
             try:
                 flush_ckpts()  # drain pending async writes first, best-effort
-            except Exception as flush_err:
+            except BaseException as flush_err:
+                # BaseException: a second Ctrl-C while the flush drains a
+                # multi-second write must not skip the emergency checkpoint
                 print_(f"async checkpoint flush failed during emergency "
                        f"handling: {flush_err}", "error")
             save_checkpoint(self.exp.models_dir, f"emergency_checkpoint_epoch_{epoch}",
