@@ -38,7 +38,8 @@ REF_GPU_FPS = 250.0  # estimated reference GPU predicted-frames/sec/chip
 MEASURED_CPU_SPEEDUP = 13.9
 
 
-def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pallas: bool):
+def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pallas: bool,
+                   decode_quant=None):
     import jax
     import jax.numpy as jnp
 
@@ -94,6 +95,16 @@ def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pall
 
     tail_chunks = pick_tail_chunks(batch_size * num_preds, num_slots)
 
+    quant_scales = None
+    if decode_quant == "int8":
+        # opt-in int8 decoder tail (--decode_quant int8): calibrated scales
+        # baked as constants alongside the weights (models/quant.py). NOT
+        # the default headline — quantization changes outputs.
+        from textocvp_tpu.models.quant import calibrate_decode_scales
+
+        quant_scales = jnp.asarray(calibrate_decode_scales(
+            model, model_vars, slot_sample.reshape(-1, num_slots, slot_dim)))
+
     @jax.jit
     def decode_stage(pred_slots):
         """Decoder tail convs as a lax.scan over chunks, with the frozen
@@ -107,7 +118,8 @@ def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pall
         b = pred_slots.shape[0]
         dec = model.apply(model_vars,
                           pred_slots.reshape(b * num_preds, num_slots, slot_dim),
-                          method="decode", tail_chunks=tail_chunks)
+                          method="decode", tail_chunks=tail_chunks,
+                          quant_scales=quant_scales)
         imgs = jnp.clip(dec["recons_imgs"], 0, 1)
         return imgs, jnp.sum(imgs)
 
@@ -142,6 +154,10 @@ def main():
                              "transient host/chip contention)")
     parser.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     parser.add_argument("--pallas", action="store_true", default=False)
+    parser.add_argument("--decode_quant", default=None, choices=["int8"],
+                        help="opt-in int8 decoder tail (changes outputs; "
+                             "docs/PERFORMANCE.md 'int8 decode') — NOT the "
+                             "default headline")
     args = parser.parse_args()
 
     import jax
@@ -151,7 +167,8 @@ def main():
 
     t0 = time.perf_counter()
     eval_step, (videos, tokens, attn_masks) = build_flagship(
-        args.batch_size, args.num_preds, args.dtype, args.pallas
+        args.batch_size, args.num_preds, args.dtype, args.pallas,
+        decode_quant=args.decode_quant,
     )
     print(f"build+init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
@@ -174,8 +191,10 @@ def main():
     print(f"step time: {step_ms:.2f} ms (best of {args.windows} windows)  "
           f"({frames} frames in {dt:.2f}s on {n_chips} chip)", file=sys.stderr)
 
+    suffix = f", decode_quant={args.decode_quant}" if args.decode_quant else ""
     print(json.dumps({
-        "metric": "pred_frames_per_sec_per_chip (CATER SAVi+TextOCVP_T5 num_preds=19)",
+        "metric": "pred_frames_per_sec_per_chip (CATER SAVi+TextOCVP_T5 "
+                  f"num_preds=19{suffix})",
         "value": round(fps_per_chip, 2),
         "unit": "frames/s/chip",
         "vs_baseline": round(fps_per_chip / REF_GPU_FPS, 3),

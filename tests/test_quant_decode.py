@@ -1,0 +1,149 @@
+"""int8 decoder-tail quantization (``tpu.decode_quant`` — models/quant.py).
+
+The quantized path changes outputs by construction, so these tests pin (a)
+the error is small and bounded, (b) quality does NOT depend on the chunking
+schedule the batch size happens to pick, (c) the config gates fail fast on
+unsupported models/decoders, and (d) the evaluator end-to-end honors the
+knob and stamps the honesty flag into results.json.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from textocvp_tpu.core.config import build_exp_params
+from textocvp_tpu.models import setup_model
+from textocvp_tpu.models.quant import calibrate_decode_scales, decode_quant_mode
+
+
+@pytest.fixture(scope="module")
+def savi_and_slots():
+    """Tiny SAVi (CPU-box-sized) with a 3-conv decoder -> 2 quantized tail
+    convs. The full-size numeric check ran on real data shapes during
+    development (max err 0.0099, mean 0.00086 at 8 slots x 128d, 64px)."""
+    exp = build_exp_params("SAVi", "CATER_Easy")
+    exp["tpu"] = {"compute_dtype": "float32"}
+    mp = exp["model"]["model_params"]
+    mp.update(num_slots=3, slot_dim=16, mlp_hidden=16, mlp_encoder_dim=16,
+              initializer="Learned")
+    mp["encoder"]["encoder_params"].update(num_channels=[8], resolution=[24, 24])
+    mp["decoder"]["decoder_params"].update(num_channels=[8, 8, 8],
+                                           resolution=[24, 24])
+    exp["dataset"]["img_size"] = [24, 24]
+    model = setup_model(exp)
+    rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
+    videos = jax.random.uniform(jax.random.PRNGKey(14), (2, 1, 24, 24, 3))
+    variables = model.init(rngs, videos, decode=True, train=False)
+    slots = jax.random.normal(jax.random.PRNGKey(3), (8, 3, 16)) * 0.5
+    return model, variables, slots
+
+
+def test_quant_decode_close_to_bf16(savi_and_slots):
+    model, variables, slots = savi_and_slots
+    scales = calibrate_decode_scales(model, variables, slots)
+    assert scales.shape == (2,) and np.all(scales > 0)  # 3 convs -> 2 hidden
+
+    ref = model.apply(variables, slots, method="decode", tail_chunks=4)
+    q = model.apply(variables, slots, method="decode", tail_chunks=4,
+                    quant_scales=jnp.asarray(scales))
+    a = np.clip(np.asarray(ref["recons_imgs"], np.float32), 0, 1)
+    b = np.clip(np.asarray(q["recons_imgs"], np.float32), 0, 1)
+    err = np.abs(a - b)
+    assert err.max() < 0.05, f"int8 decode max err {err.max()} too large"
+    assert err.mean() < 0.005, f"int8 decode mean err {err.mean()} too large"
+
+
+def test_quant_decode_schedule_independent(savi_and_slots):
+    """The quantized output must be identical whether the tail runs flat or
+    chunked — quality must not change with the batch-size-dependent
+    schedule."""
+    model, variables, slots = savi_and_slots
+    scales = jnp.asarray(calibrate_decode_scales(model, variables, slots))
+    outs = [
+        np.asarray(model.apply(variables, slots, method="decode",
+                               tail_chunks=c, quant_scales=scales)["recons_imgs"],
+                   np.float32)
+        for c in (1, 2, 4)
+    ]
+    np.testing.assert_allclose(outs[0], outs[1], rtol=0, atol=1e-5)
+    np.testing.assert_allclose(outs[0], outs[2], rtol=0, atol=1e-5)
+
+
+def test_quant_mode_gate():
+    exp = build_exp_params("SAVi", "CATER_Easy")
+    assert decode_quant_mode(exp) is None
+    exp["tpu"] = {"decode_quant": "int8"}
+    assert decode_quant_mode(exp) == "int8"
+    exp["tpu"] = {"decode_quant": "int4"}
+    with pytest.raises(ValueError, match="decode_quant"):
+        decode_quant_mode(exp)
+    dino = build_exp_params("ExtendedDINOSAUR", "CLIPort")
+    dino["tpu"] = {"decode_quant": "int8"}
+    with pytest.raises(ValueError, match="SAVi"):
+        decode_quant_mode(dino)
+
+
+def test_quant_requires_fast_decode_structure():
+    """A decoder outside the fast-broadcast preconditions (batch norm here)
+    must fail fast, not silently skip quantization."""
+    exp = build_exp_params("SAVi", "CATER_Easy")
+    mp = exp["model"]["model_params"]
+    mp.update(num_slots=3, slot_dim=16, mlp_hidden=16, mlp_encoder_dim=16,
+              initializer="Learned")
+    mp["encoder"]["encoder_params"].update(num_channels=[8], resolution=[24, 24])
+    mp["decoder"]["decoder_params"].update(num_channels=[8, 8],
+                                           resolution=[24, 24],
+                                           batch_norm=True)
+    exp["dataset"]["img_size"] = [24, 24]
+    model = setup_model(exp)
+    rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
+    videos = jax.random.uniform(jax.random.PRNGKey(14), (1, 1, 24, 24, 3))
+    variables = model.init(rngs, videos, decode=True, train=False)
+    slots = jax.random.normal(jax.random.PRNGKey(3), (2, 3, 16))
+    with pytest.raises(ValueError, match="decode_quant"):
+        model.apply(variables, slots, method="decode",
+                    quant_scales=jnp.ones(1), mutable=["batch_stats"])
+
+
+def test_evaluator_end_to_end_with_quant(tmp_path):
+    """03-style eval with tpu.decode_quant=int8: finite metrics and the
+    decode_quant honesty flag in results.json."""
+    import json
+
+    from textocvp_tpu.core.experiment import Experiment
+    from textocvp_tpu.train.checkpoints import save_checkpoint
+    from textocvp_tpu.train.evaluator import DecompEvaluator
+
+    exp = Experiment.create(tmp_path / "e", "SAVi", "Synthetic")
+    p = exp.params
+    mp = p["model"]["model_params"]
+    mp.update(num_slots=3, slot_dim=16, mlp_hidden=16, mlp_encoder_dim=16,
+              initializer="Learned")
+    mp["encoder"]["encoder_params"].update(num_channels=[8], resolution=[16, 16])
+    mp["decoder"]["decoder_params"].update(num_channels=[8, 8], resolution=[16, 16])
+    p["dataset"].update(img_size=[16, 16], num_frames=2, num_test_seqs=4)
+    p["training"].update(batch_size=2)
+    p["tpu"] = {"decode_quant": "int8"}
+    exp.save_params(p)
+
+    model = __import__("textocvp_tpu.models", fromlist=["setup_model"]).setup_model(p)
+    rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
+    videos = np.random.default_rng(0).uniform(0, 1, (1, 2, 16, 16, 3)).astype(np.float32)
+    variables = model.init(rngs, jnp.asarray(videos), train=False)
+    save_checkpoint(exp.models_dir, "ck", {
+        "params": variables["params"], "batch_stats": {}, "opt_state": {},
+        "epoch": 0, "step": 0})
+
+    ev = DecompEvaluator(exp.exp_path, checkpoint="ck", batch_size=2,
+                         metrics=("psnr",))
+    ev.load_data()
+    sample = np.stack([ev.test_set[i][0] for i in range(2)])
+    ev.load_model(sample)
+    results = ev.evaluate()
+    assert np.isfinite(results["psnr"]["mean"])
+    assert results["decode_quant"] == "int8"
+    assert ev.decode_quant_scales.shape == (1,)  # 2 convs -> 1 hidden
+    on_disk = json.loads(
+        (exp.exp_path / "results" / ev.results_name / "results.json").read_text())
+    assert on_disk["decode_quant"] == "int8"

@@ -299,3 +299,54 @@ def test_autotuned_service_matches_plain(served_exp, service):
 
     with pytest.raises(ValueError, match="decode_autotune"):
         export_service(tuned, "/tmp/should_not_exist_export")
+
+
+def test_quantized_service_close_to_plain_and_exports(served_exp, service,
+                                                      tmp_path):
+    """tpu.decode_quant=int8 on a service: warmup calibrates, predictions
+    stay close to the bf16 service (uint8 wire format, so within a few
+    levels), and AOT export serializes the calibrated stage — after warmup
+    only — with the honesty flag in the manifest."""
+    import json
+
+    from textocvp_tpu.serve import PredictionService
+    from textocvp_tpu.serve.export import ExportedPredictionService, export_service
+
+    params_path = served_exp / "predictors" / "tiny_tf" / "experiment_params.json"
+    original = params_path.read_text()
+    p = json.loads(original)
+    p.setdefault("tpu", {})["decode_quant"] = "int8"
+    params_path.write_text(json.dumps(p))
+    try:
+        quant = PredictionService(
+            served_exp, "tiny_tf",
+            decomp_ckpt="checkpoint_epoch_final",
+            pred_ckpt="checkpoint_epoch_final",
+            batch_size=2, max_tokens=8)
+    finally:
+        params_path.write_text(original)
+
+    # export before any request: calibration has not run yet -> clear error
+    with pytest.raises(ValueError, match="warmup"):
+        export_service(quant, tmp_path / "early")
+
+    frames = np.random.default_rng(5).random((2, 1, RES, RES, 3), np.float32)
+    caps = ["the cone is rotating", "the snitch is sliding"]
+    service._counter = quant._counter = 99
+    a = service.predict(frames, caps).astype(np.int32)
+    service._counter = quant._counter = 99
+    b = quant.predict(frames, caps).astype(np.int32)  # triggers calibration
+    assert quant.decode_quant_scales.shape[0] >= 1
+    # same rollout, quantized decode: small bounded pixel error on uint8
+    assert np.abs(a - b).max() <= 16
+    assert np.abs(a - b).mean() < 2.0
+
+    art = export_service(quant, tmp_path / "art")
+    manifest = json.loads((art / "manifest.json").read_text())
+    assert manifest["decode_quant"] == "int8"
+    restored = ExportedPredictionService(art)
+    quant._counter = restored._counter = 123
+    q1 = quant.predict(frames, caps)
+    quant._counter = restored._counter = 123
+    q2 = restored.predict(frames, caps)
+    np.testing.assert_array_equal(q1, q2)

@@ -1,0 +1,67 @@
+"""Opt-in int8 quantization of the decoder tail (``tpu.decode_quant``).
+
+The flagship decode — 4x [5x5 conv, 64ch, 64x64] over B*P*num_slots
+slot-frames — is ~68% of the eval step and runs at ~60% of the v5e bf16 MXU
+peak. The int8 MXU path is ~2x that peak, and the probe at the production
+chunk shape measured **1.68x** per conv including dequant
+(bench_int8_conv.py; docs/PERFORMANCE.md "int8 decode"). This module wires
+post-training quantization of the hidden tail convs:
+
+* **weights**: per-output-channel symmetric int8, quantized inside the
+  traced program (const-folded when the frozen decoder weights are baked);
+* **activations**: per-tensor symmetric int8 with STATIC scales calibrated
+  from real data (one bf16 amax pass on the first batch / warmup sample),
+  so the quantize fuses into the producing conv's epilogue and intermediates
+  are written to HBM as int8 — no per-step dynamic-range pass;
+* the final RGBA conv stays bf16/f32 (1/16th of the FLOPs; the mask softmax
+  consumes its precision).
+
+This CHANGES outputs (quantization error), so it is opt-in per experiment
+(``tpu: {"decode_quant": "int8"}``) and every results.json produced with it
+carries a ``"decode_quant": "int8"`` honesty flag, like the LPIPS fallback
+flag. Measured quality delta and throughput are in docs/PERFORMANCE.md.
+
+There is no reference counterpart (the reference evaluates fp32 CUDA,
+lib/metrics.py); this is a TPU-native serving/eval acceleration.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+VALID = (None, "int8")
+
+
+def decode_quant_mode(exp_params: dict) -> Optional[str]:
+    """Validated ``tpu.decode_quant`` (None = off, the default)."""
+    mode = (exp_params.get("tpu") or {}).get("decode_quant")
+    if mode not in VALID:
+        raise ValueError(
+            f"tpu.decode_quant must be one of {VALID}, got {mode!r}")
+    model_name = (exp_params.get("model") or {}).get("model_name")
+    if mode is not None and model_name != "SAVi":
+        raise ValueError(
+            "tpu.decode_quant supports the SAVi ConvDecoder only (the "
+            "ExtendedDINOSAUR patch decoder is MLP+BN-CNN — no measured int8 "
+            f"win there); this experiment uses {model_name!r}. Unset "
+            "tpu.decode_quant.")
+    return mode
+
+
+def calibrate_decode_scales(decomp_model, decomp_vars, slots) -> np.ndarray:
+    """Per-layer activation scales (L,) for the int8 decoder tail.
+
+    Runs the bf16 tail once on ``slots`` (a representative (N, S, D) batch —
+    predicted slots in the evaluator, the warmup sample in serving) and maps
+    each layer's input amax to the int8 grid. One extra bf16 decode-tail
+    pass, paid once per run."""
+    amaxes = jax.jit(lambda v, s: decomp_model.apply(
+        v, s, method="decode_calibrate"))(decomp_vars, slots)
+    scales = np.maximum(np.asarray(amaxes, np.float32), 1e-12) / 127.0
+    if not np.all(np.isfinite(scales)):
+        raise ValueError(
+            f"int8 decode calibration produced non-finite scales: {scales}")
+    return scales

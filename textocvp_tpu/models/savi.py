@@ -110,7 +110,7 @@ class SAVi(nn.Module):
 
     # ------------------------------------------------------------------ decode
     def decode(self, slots, train: bool = False, tail_chunks: int = 1,
-               tail_remat: bool = False, tail_unroll=None):
+               tail_remat: bool = False, tail_unroll=None, quant_scales=None):
         """
         Slots (N, S, D) -> spatial-broadcast decode
         (reference SAVi.py:241-275). Returns dict with recons_imgs (N, H, W, C),
@@ -126,10 +126,19 @@ class SAVi(nn.Module):
         and textocvp_tpu/models/chunked.py for the auto policy);
         ``tail_remat`` makes the scanned tail's backward recompute per chunk
         (training-time chunking — ConvDecoder.decode_broadcast);
-        ``tail_unroll`` overrides the scan-unroll policy (autotuner hook).
+        ``tail_unroll`` overrides the scan-unroll policy (autotuner hook);
+        ``quant_scales`` switches the decoder's hidden tail convs to int8
+        with these calibrated activation scales (see
+        :meth:`decode_calibrate`; opt-in via ``tpu.decode_quant`` —
+        models/quant.py).
         """
         n, s, d = slots.shape
         h0, w0 = self.decoder_resolution
+        if quant_scales is not None and not self.fast_decode:
+            raise ValueError(
+                "int8 decode quantization requires fast_decode (the "
+                "broadcast-structured decoder); unset tpu.decode_quant or "
+                "enable tpu.fast_decode.")
         if self.fast_decode:
             y = self.image_decoder.decode_broadcast(
                 slots.reshape(n * s, d),
@@ -140,6 +149,7 @@ class SAVi(nn.Module):
                 tail_chunks=tail_chunks,
                 tail_remat=tail_remat,
                 tail_unroll=tail_unroll,
+                quant_scales=quant_scales,
             )
         else:
             x = jnp.broadcast_to(slots[:, :, None, None, :], (n, s, h0, w0, d))
@@ -153,10 +163,28 @@ class SAVi(nn.Module):
         recons_imgs = jnp.sum(recons * masks, axis=1)
         return {"recons_imgs": recons_imgs, "recons": recons, "masks": masks}
 
+    def decode_calibrate(self, slots):
+        """Per-layer decoder-tail input amaxes (L,) for int8 calibration:
+        runs the bf16 fast-broadcast preamble + tail on ``slots`` and
+        returns the activation ranges the quantizer must cover. Divide by
+        127 for the ``quant_scales`` argument of :meth:`decode`
+        (models/quant.py::calibrate_decode_scales does this)."""
+        n, s, d = slots.shape
+        h0, w0 = self.decoder_resolution
+        if not self.fast_decode:
+            raise ValueError("decode_calibrate requires fast_decode")
+        return self.image_decoder.decode_broadcast(
+            slots.reshape(n * s, d),
+            self.decoder_pos_embedding.pos_map(),
+            (h0, w0),
+            expand_impl=self.fast_decode_expand,
+            calibrate=True,
+        )
+
     # ------------------------------------------------------------------ decomp
     def decompose(self, x, decode: bool = True, train: bool = False,
                   tail_chunks: int = 1, tail_remat: bool = False,
-                  tail_unroll=None):
+                  tail_unroll=None, quant_scales=None):
         """
         Video (B, T, H, W, C) -> object slots (and reconstructions).
 
@@ -191,7 +219,8 @@ class SAVi(nn.Module):
         if decode:
             dec = self.decode(slot_history.reshape(b * t, self.num_slots, self.slot_dim),
                               train=train, tail_chunks=tail_chunks,
-                              tail_remat=tail_remat, tail_unroll=tail_unroll)
+                              tail_remat=tail_remat, tail_unroll=tail_unroll,
+                              quant_scales=quant_scales)
             h, w = dec["recons_imgs"].shape[1:3]
             out["recons_imgs"] = dec["recons_imgs"].reshape(b, t, h, w, self.in_channels)
             out["recons_objs"] = dec["recons"].reshape(b, t, self.num_slots, h, w, self.in_channels)
@@ -200,7 +229,7 @@ class SAVi(nn.Module):
 
     def __call__(self, x, decode: bool = True, train: bool = False,
                  tail_chunks: int = 1, tail_remat: bool = False,
-                 tail_unroll=None):
+                 tail_unroll=None, quant_scales=None):
         return self.decompose(x, decode=decode, train=train,
                               tail_chunks=tail_chunks, tail_remat=tail_remat,
-                              tail_unroll=tail_unroll)
+                              tail_unroll=tail_unroll, quant_scales=quant_scales)

@@ -90,7 +90,8 @@ class ConvDecoder(nn.Module):
     def decode_broadcast(self, slots, pos_map, resolution, train: bool = False,
                          expand_impl: str = "concat", tail_chunks: int = 1,
                          tail_remat: bool = False,
-                         tail_unroll: Optional[int] = None):
+                         tail_unroll: Optional[int] = None,
+                         quant_scales=None, calibrate: bool = False):
         """
         slots: (N, D) spatially-constant content; pos_map: (H0, W0, D) the
         positional projection added to the broadcast. Equivalent to
@@ -122,11 +123,25 @@ class ConvDecoder(nn.Module):
         ``tail_unroll`` overrides the scan-unroll policy
         (models/chunked.py::pick_tail_unroll) — used by the runtime decode
         autotuner; None = policy.
+
+        ``quant_scales`` (an ``(L,)`` f32 array, L = number of tail convs
+        before the final one) switches those convs to int8: activations are
+        quantized per-tensor with the given static scales and weights
+        per-output-channel inside the traced program (int8 MXU peak is ~2x
+        bf16 on v5e — docs/PERFORMANCE.md "int8 decode"). Obtain scales with
+        ``calibrate=True``, which runs the bf16 tail on this input and
+        returns the per-layer input amaxes instead of images.
         """
         h, w = resolution
         pad = self.kernel_size // 2
         small = 4 * pad + 1
         if (self.stride != 1 or self.batch_norm or h < small or w < small):
+            if quant_scales is not None or calibrate:
+                raise ValueError(
+                    "int8 decode quantization requires the fast-broadcast "
+                    "decode structure (stride 1, no batch norm, resolution "
+                    f">= {small}px); this decoder falls back to the generic "
+                    "path. Unset tpu.decode_quant for this experiment.")
             n = slots.shape[0]
             x = jnp.broadcast_to(slots[:, None, None, :], (n, h, w, slots.shape[-1]))
             return self(x + pos_map[None], train=train)
@@ -164,14 +179,85 @@ class ConvDecoder(nn.Module):
         y1 = expanded + y_pos
         x = jax.nn.relu(y1) if self.blocks[0].activation else y1
 
+        if calibrate:
+            return self._tail_amaxes(x)
+        if quant_scales is not None and not self.is_initializing():
+            # quantized tail always runs the functional form (tail_chunks=1
+            # compiles to the flat body) so quality does not depend on the
+            # chunking schedule the batch size happens to pick
+            chunks = tail_chunks if (tail_chunks > 1
+                                     and x.shape[0] % tail_chunks == 0) else 1
+            return self._tail_scanned(x, chunks, remat=tail_remat,
+                                      unroll=tail_unroll,
+                                      quant_scales=quant_scales)
         if (tail_chunks > 1 and x.shape[0] % tail_chunks == 0
                 and not self.is_initializing()):
             return self._tail_scanned(x, tail_chunks, remat=tail_remat,
                                       unroll=tail_unroll)
         return self._tail(x, train=train)
 
+    def _tail_pieces(self):
+        """Conv params of the tail, pulled from the bound submodules for
+        functional application (scan bodies / quantized path)."""
+        tail_params = []
+        for block in self.blocks[1:]:
+            p = block.conv.variables["params"]
+            tail_params.append((p["kernel"], p["bias"], block.activation))
+        fp = self.final_conv.variables["params"]
+        up = None if (self.upsample is None or self.upsample < 2) else self.upsample
+        return tail_params, fp, up, len(self.hidden_dims), self.kernel_size // 2
+
+    @staticmethod
+    def _quantize_conv(xc, kernel, bias, pad, a_scale):
+        """int8 x int8 -> int32 conv with per-tensor activation scale and
+        per-output-channel weight scales, dequantized to f32 (+bias).
+
+        The weight quantization is inside the traced program on purpose:
+        with const-baked frozen weights XLA folds it at compile time, and
+        otherwise it costs one pass over a tiny (k,k,C,C) tensor. The
+        activation quantize (round/clip/cast) is elementwise with a STATIC
+        scale, so XLA fuses it into the producing op's epilogue — the
+        intermediate is written to HBM as int8, halving traffic vs bf16."""
+        w = kernel.astype(jnp.float32)
+        w_scale = jnp.maximum(jnp.max(jnp.abs(w), axis=(0, 1, 2)), 1e-30) / 127.0
+        w_q = jnp.round(w / w_scale).astype(jnp.int8)
+        x_q = jnp.clip(jnp.round(xc.astype(jnp.float32) / a_scale),
+                       -127, 127).astype(jnp.int8)
+        y = jax.lax.conv_general_dilated(
+            x_q, w_q, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * (a_scale * w_scale) + bias.astype(
+            jnp.float32).reshape(1, 1, 1, -1)
+
+    def _tail_amaxes(self, x):
+        """bf16 tail walk returning the (L,) per-layer conv-input amaxes used
+        to calibrate ``quant_scales`` (L = len(hidden_dims) - 1)."""
+        tail_params, fp, up, n, pad = self._tail_pieces()
+        amaxes = []
+        xc = x
+        if up is not None and n - 1 > 0:
+            xc = upsample_nearest(xc, up)
+        for j, (kernel, bias, activation) in enumerate(tail_params, start=1):
+            amaxes.append(jnp.max(jnp.abs(xc.astype(jnp.float32))))
+            xc = self._apply_conv(xc, kernel, bias, pad)
+            if activation:
+                xc = nn.relu(xc)
+            if up is not None and (n - 1 - j) > 0:
+                xc = upsample_nearest(xc, up)
+        return jnp.stack(amaxes)
+
+    def _apply_conv(self, xc, kernel, bias, pad):
+        from flax.linen.dtypes import promote_dtype
+
+        xc, kernel, bias = promote_dtype(xc, kernel, bias, dtype=self.dtype)
+        y = jax.lax.conv_general_dilated(
+            xc, kernel, (1, 1), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.reshape(1, 1, 1, -1)
+
     def _tail_scanned(self, x, tail_chunks: int, remat: bool = False,
-                      unroll: Optional[int] = None):
+                      unroll: Optional[int] = None, quant_scales=None):
         """``_tail`` as a raw ``lax.scan`` over batch chunks, with the conv
         params pulled from the bound submodules and applied functionally.
 
@@ -180,32 +266,25 @@ class ConvDecoder(nn.Module):
         vs 228 ms at the flagship shape — docs/PERFORMANCE.md "decode
         chunking"). Exactness vs ``_tail`` (values and gradients) is asserted
         by tests/test_chunked_decode.py. Assumes the decode_broadcast
-        preconditions (stride 1, no batch norm)."""
-        from flax.linen.dtypes import promote_dtype
+        preconditions (stride 1, no batch norm).
 
-        def apply_conv(xc, kernel, bias, pad):
-            xc, kernel, bias = promote_dtype(xc, kernel, bias, dtype=self.dtype)
-            y = jax.lax.conv_general_dilated(
-                xc, kernel, (1, 1), [(pad, pad), (pad, pad)],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            return y + bias.reshape(1, 1, 1, -1)
-
-        tail_params = []
-        for block in self.blocks[1:]:
-            p = block.conv.variables["params"]
-            tail_params.append((p["kernel"], p["bias"], block.activation))
-        fp = self.final_conv.variables["params"]
-
-        up = None if (self.upsample is None or self.upsample < 2) else self.upsample
-        n = len(self.hidden_dims)
-        pad = self.kernel_size // 2
+        With ``quant_scales`` the hidden tail convs run int8
+        (:meth:`_quantize_conv`); the final conv stays bf16/f32 — it is
+        1/16th of the FLOPs and produces the RGBA output whose precision
+        the mask softmax consumes."""
+        apply_conv = self._apply_conv
+        tail_params, fp, up, n, pad = self._tail_pieces()
 
         def tail_fn(xc):
             # mirrors _tail exactly (upsample placement included)
             if up is not None and n - 1 > 0:
                 xc = upsample_nearest(xc, up)
             for j, (kernel, bias, activation) in enumerate(tail_params, start=1):
-                xc = apply_conv(xc, kernel, bias, pad)
+                if quant_scales is not None:
+                    xc = self._quantize_conv(xc, kernel, bias, pad,
+                                             quant_scales[j - 1])
+                else:
+                    xc = apply_conv(xc, kernel, bias, pad)
                 if activation:
                     xc = nn.relu(xc)
                 if up is not None and (n - 1 - j) > 0:

@@ -52,7 +52,17 @@ def export_service(service, out_dir) -> Path:
         raise ValueError(
             "service weights exceed the constant-bake limit; AOT export "
             "requires the baked configuration (see models/chunked.py)")
-    if getattr(service._decode_stage, "lower", None) is None:
+    decode_stage = service._decode_stage
+    if getattr(service, "_quant_mode", None):
+        # int8 services export the calibrated inner stage (scales baked);
+        # calibration happens on the first request, so warmup() must run
+        # before export
+        decode_stage = getattr(decode_stage, "inner", lambda: None)()
+        if decode_stage is None:
+            raise ValueError(
+                "quantized service (tpu.decode_quant) has not been "
+                "calibrated yet — call service.warmup() before export")
+    if getattr(decode_stage, "lower", None) is None:
         raise ValueError(
             "the decode stage is not a plain jitted function — build the "
             "service without tpu.decode_autotune to export (the exported "
@@ -73,7 +83,7 @@ def export_service(service, out_dir) -> Path:
         videos, key, **{k: v for k, v in text_kwargs.items()})
     slots_spec = jax.ShapeDtypeStruct(exp_predict.out_avals[0].shape,
                                       exp_predict.out_avals[0].dtype)
-    exp_decode = jax_export.export(service._decode_stage)(slots_spec)
+    exp_decode = jax_export.export(decode_stage)(slots_spec)
 
     (out / _PREDICT).write_bytes(exp_predict.serialize())
     (out / _DECODE).write_bytes(exp_decode.serialize())
@@ -86,6 +96,8 @@ def export_service(service, out_dir) -> Path:
         "text_kwargs": {k: [list(v.shape), str(np.dtype(v.dtype))]
                         for k, v in text_kwargs.items()},
         "dataset": service.exp_params["dataset"],
+        # honesty flag: the exported decode is int8-quantized (scales baked)
+        "decode_quant": getattr(service, "_quant_mode", None),
     }
     (out / _MANIFEST).write_text(json.dumps(manifest, indent=2))
     return out

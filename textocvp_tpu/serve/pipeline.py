@@ -286,11 +286,14 @@ class PredictionService(InferenceFrontend):
             return predictor.apply(pv, out["slot_history"], num_preds=p,
                                    teacher_force=False, **text_kwargs)
 
-        def _decode(mv, pred_slots, tail_chunks=tail_chunks, tail_unroll=None):
+        def _decode(mv, pred_slots, tail_chunks=tail_chunks, tail_unroll=None,
+                    quant_scales=None):
             b = pred_slots.shape[0]
+            # int8 decode (tpu.decode_quant): SAVi-only, guarded at setup
+            qkw = {} if quant_scales is None else {"quant_scales": quant_scales}
             dec = model.apply(mv, pred_slots.reshape(b * p, s, d),
                               method="decode", tail_chunks=tail_chunks,
-                              tail_unroll=tail_unroll)
+                              tail_unroll=tail_unroll, **qkw)
             imgs = jnp.clip(dec["recons_imgs"], 0.0, 1.0)
             # quantize ON DEVICE: the serving wire format is uint8 anyway,
             # and fetching uint8 instead of float32 is 4x less D2H traffic
@@ -309,8 +312,10 @@ class PredictionService(InferenceFrontend):
         self._predict_stage = pj if (bake_m and bake_p) else (
             lambda videos, key, **kw: pj(model_vars, pred_vars, videos, key, **kw))
 
-        def make_decode_stage(tail_chunks=tail_chunks, tail_unroll=None):
-            d_ = partial(_decode, tail_chunks=tail_chunks, tail_unroll=tail_unroll)
+        def make_decode_stage(tail_chunks=tail_chunks, tail_unroll=None,
+                              quant_scales=None):
+            d_ = partial(_decode, tail_chunks=tail_chunks, tail_unroll=tail_unroll,
+                         quant_scales=quant_scales)
             dj = jax.jit(partial(d_, model_vars)) if bake_m else jax.jit(d_)
             return dj if bake_m else (lambda ps: dj(model_vars, ps))
 
@@ -320,22 +325,51 @@ class PredictionService(InferenceFrontend):
         # request (usually warmup()) and the winner serves from then on.
         # Same wiring as the evaluators (models/autotune.py).
         from textocvp_tpu.models.autotune import autotune_enabled, autotuned_stage
+        from textocvp_tpu.models.quant import decode_quant_mode
 
-        if autotune_enabled(self.exp_params):
+        def build_decode_stage(quant_scales=None):
+            mk = partial(make_decode_stage, quant_scales=quant_scales)
+            if autotune_enabled(self.exp_params):
+                from textocvp_tpu.core.logger import print_
+                from textocvp_tpu.models.chunked import decode_candidate_schedules
+
+                cfg_chunks = (self.exp_params.get("tpu") or {}).get("decode_chunks")
+
+                def schedules_of(pred_slots):
+                    return decode_candidate_schedules(
+                        pred_slots.shape[0] * p, s, configured_chunks=cfg_chunks)
+
+                def sync(imgs):
+                    np.asarray(imgs)  # full output fetch = the real serving cost
+
+                return autotuned_stage(mk, schedules_of, sync, log=print_)
+            return mk()
+
+        self._quant_mode = decode_quant_mode(self.exp_params)
+        if self._quant_mode:
+            # int8 decoder tail (tpu.decode_quant): calibrate activation
+            # scales on the first request's predicted slots — usually
+            # warmup() — then serve the quantized stage from then on
+            # (models/quant.py). Output quality changes; the knob is an
+            # explicit per-experiment opt-in.
             from textocvp_tpu.core.logger import print_
-            from textocvp_tpu.models.chunked import decode_candidate_schedules
+            from textocvp_tpu.models.quant import calibrate_decode_scales
 
-            cfg_chunks = (self.exp_params.get("tpu") or {}).get("decode_chunks")
+            holder = {}
 
-            def schedules_of(pred_slots):
-                return decode_candidate_schedules(
-                    pred_slots.shape[0] * p, s, configured_chunks=cfg_chunks)
+            def decode_stage(pred_slots):
+                if "stage" not in holder:
+                    scales = calibrate_decode_scales(
+                        model, model_vars, pred_slots.reshape(-1, s, d))
+                    self.decode_quant_scales = scales
+                    print_(f"int8 decode calibration: scales={scales.tolist()}")
+                    holder["stage"] = build_decode_stage(jnp.asarray(scales))
+                return holder["stage"](pred_slots)
 
-            def sync(imgs):
-                np.asarray(imgs)  # full output fetch = the real serving cost
-
-            self._decode_stage = autotuned_stage(
-                make_decode_stage, schedules_of, sync, log=print_)
+            # the calibrated inner stage (plain jitted fn once warmup ran) —
+            # what AOT export serializes (serve/export.py)
+            decode_stage.inner = lambda: holder.get("stage")
+            self._decode_stage = decode_stage
         else:
-            self._decode_stage = make_decode_stage()
+            self._decode_stage = build_decode_stage()
 

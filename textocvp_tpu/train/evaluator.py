@@ -130,16 +130,19 @@ class DecompEvaluator:
         decode_chunks_cfg = (self.exp_params.get("tpu") or {}).get("decode_chunks")
         n_slots = self.exp_params["model"]["model_params"]["num_slots"]
 
-        def _eval(variables, videos, rng, tail_chunks=None, tail_unroll=None):
+        def _eval(variables, videos, rng, tail_chunks=None, tail_unroll=None,
+                  quant_scales=None):
             b, t = videos.shape[:2]
             # scan-chunked decoder tail on large recon batches (exact;
             # docs/PERFORMANCE.md "decode chunking"). ExtendedDINOSAUR
             # accepts and ignores tail_chunks (measured: no win there).
             if tail_chunks is None:
                 tail_chunks = resolve_tail_chunks(decode_chunks_cfg, b * t, n_slots)
+            # int8 decode (tpu.decode_quant): SAVi-only, guarded at setup
+            qkw = {} if quant_scales is None else {"quant_scales": quant_scales}
             out = model.apply(
                 variables, videos, rngs={"slots": rng},
-                tail_chunks=tail_chunks, tail_unroll=tail_unroll)
+                tail_chunks=tail_chunks, tail_unroll=tail_unroll, **qkw)
             recons = jnp.clip(out["recons_imgs"], 0, 1)
             targets = jnp.clip(videos, 0, 1)
             vals = tracker.compute(recons, targets)
@@ -158,34 +161,67 @@ class DecompEvaluator:
         bake = should_bake_constants(self.variables)
         variables = self.variables
 
-        def make_step(tail_chunks=None, tail_unroll=None):
+        def make_step(tail_chunks=None, tail_unroll=None, quant_scales=None):
             if bake:
                 return jax.jit(partial(_eval, variables, tail_chunks=tail_chunks,
-                                       tail_unroll=tail_unroll))
+                                       tail_unroll=tail_unroll,
+                                       quant_scales=quant_scales))
             _j = jax.jit(partial(_eval, tail_chunks=tail_chunks,
-                                 tail_unroll=tail_unroll))
+                                 tail_unroll=tail_unroll,
+                                 quant_scales=quant_scales))
             return lambda videos, rng: _j(variables, videos, rng)
 
         # opt-in runtime autotune of the decode schedule: measures the
         # candidate (chunks, unroll) pairs on the first batch and reuses the
         # winner (models/autotune.py)
         from textocvp_tpu.models.autotune import autotune_enabled, autotuned_stage
+        from textocvp_tpu.models.quant import decode_quant_mode
 
-        if autotune_enabled(self.exp_params):
-            from textocvp_tpu.models.chunked import decode_candidate_schedules
+        def build_stage(quant_scales=None):
+            mk = partial(make_step, quant_scales=quant_scales)
+            if autotune_enabled(self.exp_params):
+                from textocvp_tpu.models.chunked import decode_candidate_schedules
 
-            def schedules_of(videos, rng):
-                b, t = videos.shape[:2]
-                return decode_candidate_schedules(
-                    b * t, n_slots, configured_chunks=decode_chunks_cfg)
+                def schedules_of(videos, rng):
+                    b, t = videos.shape[:2]
+                    return decode_candidate_schedules(
+                        b * t, n_slots, configured_chunks=decode_chunks_cfg)
 
-            def sync(vals):
-                np.asarray(next(iter(vals.values())))
+                def sync(vals):
+                    np.asarray(next(iter(vals.values())))
 
-            self.eval_step = autotuned_stage(make_step, schedules_of, sync,
-                                             log=print_)
+                return autotuned_stage(mk, schedules_of, sync, log=print_)
+            return mk()
+
+        self._quant_mode = decode_quant_mode(self.exp_params)
+        if self._quant_mode:
+            # int8 decoder tail: calibrate activation scales on the FIRST
+            # batch's slots (one extra encode + bf16 tail pass), bake them,
+            # and use the quantized stage for every batch incl. this one —
+            # so all reported metrics come from the same program
+            # (models/quant.py; results.json carries a decode_quant flag)
+            from textocvp_tpu.models.quant import calibrate_decode_scales
+
+            holder = {}
+
+            def eval_step(videos, rng):
+                if "stage" not in holder:
+                    slots = jax.jit(
+                        lambda v, x, r: model.apply(
+                            v, x, decode=False,
+                            rngs={"slots": r})["slot_history"]
+                    )(variables, videos, rng)
+                    scales = calibrate_decode_scales(
+                        model, variables,
+                        slots.reshape(-1, *slots.shape[-2:]))
+                    self.decode_quant_scales = scales
+                    print_(f"int8 decode calibration: scales={scales.tolist()}")
+                    holder["stage"] = build_stage(jnp.asarray(scales))
+                return holder["stage"](videos, rng)
+
+            self.eval_step = eval_step
         else:
-            self.eval_step = make_step()
+            self.eval_step = build_stage()
 
     def evaluate(self) -> dict:
         """Set TEXTOCVP_PROFILE=<dir> to capture a jax.profiler trace of the
@@ -222,6 +258,9 @@ class DecompEvaluator:
         self.metric_tracker.aggregate()
         results = self.metric_tracker.to_json()
         results.update(_tokenizer_fallback_flags(self.test_set))
+        if getattr(self, "_quant_mode", None):
+            # honesty flag: these metrics come from a quantized decoder
+            results["decode_quant"] = self._quant_mode
         self.exp.save_results(self.results_name, results)
         _save_framewise_plots(self.exp, self.results_name, results, start_x=0)
         print_(f"Results: { {k: v['mean'] for k, v in results.items() if isinstance(v, dict)} }")
@@ -354,15 +393,18 @@ class PredictorEvaluator:
             )
 
         def _decode_metrics(dv, pred_slots, videos, tail_chunks=None,
-                            tail_unroll=None):
+                            tail_unroll=None, quant_scales=None):
             b = pred_slots.shape[0]
             # decoder tail convs scanned over chunks: ~1.6x on large TPU
             # eval batches, exact (docs/PERFORMANCE.md "decode chunking")
             if tail_chunks is None:
                 tail_chunks = resolve_tail_chunks(decode_chunks_cfg, b * p, num_slots)
+            # int8 decode (tpu.decode_quant): SAVi-only, guarded at setup
+            qkw = {} if quant_scales is None else {"quant_scales": quant_scales}
             dec = decomp_model.apply(
                 dv, pred_slots.reshape(b * p, num_slots, slot_dim),
                 method="decode", tail_chunks=tail_chunks, tail_unroll=tail_unroll,
+                **qkw,
             )
             targets = jnp.clip(videos[:, c : c + p], 0, 1)
             pred_imgs = jnp.clip(dec["recons_imgs"].reshape(targets.shape), 0, 1)
@@ -379,13 +421,16 @@ class PredictorEvaluator:
         # the remote compile service (docs/PERFORMANCE.md "decode chunking").
         bake = should_bake_constants(decomp_vars)
 
-        def make_decode_stage(tail_chunks=None, tail_unroll=None):
+        def make_decode_stage(tail_chunks=None, tail_unroll=None,
+                              quant_scales=None):
             if bake:
                 return jax.jit(partial(_decode_metrics, decomp_vars,
                                        tail_chunks=tail_chunks,
-                                       tail_unroll=tail_unroll))
+                                       tail_unroll=tail_unroll,
+                                       quant_scales=quant_scales))
             _dj = jax.jit(partial(_decode_metrics, tail_chunks=tail_chunks,
-                                  tail_unroll=tail_unroll))
+                                  tail_unroll=tail_unroll,
+                                  quant_scales=quant_scales))
             return lambda pred_slots, videos: _dj(decomp_vars, pred_slots, videos)
 
         if bake:
@@ -400,23 +445,46 @@ class PredictorEvaluator:
         # candidate (chunks, unroll) pairs on the first batch, reuse the
         # winner for the rest of the eval (models/autotune.py)
         from textocvp_tpu.models.autotune import autotune_enabled, autotuned_stage
+        from textocvp_tpu.models.quant import decode_quant_mode
 
-        if autotune_enabled(self.exp_params):
-            from textocvp_tpu.models.chunked import decode_candidate_schedules
+        def build_decode_stage(quant_scales=None):
+            mk = partial(make_decode_stage, quant_scales=quant_scales)
+            if autotune_enabled(self.exp_params):
+                from textocvp_tpu.models.chunked import decode_candidate_schedules
 
-            def schedules_of(pred_slots, videos):
-                b = pred_slots.shape[0]
-                return decode_candidate_schedules(
-                    b * p, num_slots, configured_chunks=decode_chunks_cfg)
+                def schedules_of(pred_slots, videos):
+                    b = pred_slots.shape[0]
+                    return decode_candidate_schedules(
+                        b * p, num_slots, configured_chunks=decode_chunks_cfg)
 
-            def sync(out):
-                np.asarray(next(iter(out[0].values())))
+                def sync(out):
+                    np.asarray(next(iter(out[0].values())))
 
-            decode_metrics_stage = autotuned_stage(make_decode_stage,
-                                                   schedules_of, sync,
-                                                   log=print_)
+                return autotuned_stage(mk, schedules_of, sync, log=print_)
+            return mk()
+
+        self._quant_mode = decode_quant_mode(self.exp_params)
+        if self._quant_mode:
+            # int8 decoder tail: calibrate activation scales on the FIRST
+            # batch's PREDICTED slots (one extra bf16 tail pass), bake them,
+            # and use the quantized stage for every batch incl. this one —
+            # all reported metrics come from the same program
+            # (models/quant.py; results.json carries a decode_quant flag)
+            from textocvp_tpu.models.quant import calibrate_decode_scales
+
+            holder = {}
+
+            def decode_metrics_stage(pred_slots, videos):
+                if "stage" not in holder:
+                    scales = calibrate_decode_scales(
+                        decomp_model, decomp_vars,
+                        pred_slots.reshape(-1, num_slots, slot_dim))
+                    self.decode_quant_scales = scales
+                    print_(f"int8 decode calibration: scales={scales.tolist()}")
+                    holder["stage"] = build_decode_stage(jnp.asarray(scales))
+                return holder["stage"](pred_slots, videos)
         else:
-            decode_metrics_stage = make_decode_stage()
+            decode_metrics_stage = build_decode_stage()
 
         def eval_step(pred_params, videos, rng, **text_kwargs):
             """Two chained XLA programs with no host round-trip between them
@@ -463,6 +531,9 @@ class PredictorEvaluator:
         self.metric_tracker.aggregate()
         results = self.metric_tracker.to_json()
         results.update(_tokenizer_fallback_flags(self.test_set))
+        if getattr(self, "_quant_mode", None):
+            # honesty flag: these metrics come from a quantized decoder
+            results["decode_quant"] = self._quant_mode
         self.exp.save_results(self.results_name, results)
         _save_framewise_plots(self.exp, self.results_name, results, start_x=self.num_context)
         print_(f"Results: { {k: v['mean'] for k, v in results.items() if isinstance(v, dict)} }")
