@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--windows", type=int, default=2)
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--decode_quant", default=None, choices=["int8"],
+                    help="opt-in int8 patch-MLP + BN-folded CNN head "
+                         "(changes outputs; docs/PERFORMANCE.md 'int8 "
+                         "decode') — NOT the default headline")
     args = ap.parse_args()
 
     import jax
@@ -79,10 +83,18 @@ def main():
                                teacher_force=False, caption_tokens=tokens,
                                attn_masks=attn_masks)
 
+    quant_scales = None
+    if args.decode_quant == "int8":
+        from textocvp_tpu.models.quant import calibrate_decode_scales
+
+        quant_scales = jnp.asarray(calibrate_decode_scales(
+            model, model_vars, slot_sample.reshape(-1, num_slots, slot_dim)))
+        print(f"int8 scales: {quant_scales}", file=sys.stderr)
+
     @jax.jit
     def decode_metrics_stage(mv, pred_slots, videos):
         dec = model.apply(mv, pred_slots.reshape(b * p, num_slots, slot_dim),
-                          method="decode")
+                          method="decode", quant_scales=quant_scales)
         targets = jnp.clip(videos[:, c:c + p], 0, 1)
         pred_imgs = jnp.clip(dec["recons_imgs"].reshape(targets.shape), 0, 1)
         vals = tracker.compute(pred_imgs, targets)
@@ -108,10 +120,11 @@ def main():
 
     n_chips = jax.local_device_count()
     fps = b * p * args.iters / best / n_chips
+    suffix = f", decode_quant={args.decode_quant}" if args.decode_quant else ""
     print(json.dumps({
         "metric": f"dinosaur_eval_pred_frames_per_sec_per_chip "
                   f"(CLIPort ExtendedDINOSAUR+TextOCVP_T5, B={b}, p={p}, "
-                  f"336px, {args.dtype})",
+                  f"336px, {args.dtype}{suffix})",
         "value": round(fps, 2), "unit": "frames/s/chip",
         "step_ms": round(1000 * best / args.iters, 2),
     }))

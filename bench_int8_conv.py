@@ -50,6 +50,9 @@ def main():
                         help="conv batch (flagship chunk: 64*19*8/4)")
     parser.add_argument("--res", type=int, default=64)
     parser.add_argument("--ch", type=int, default=64)
+    parser.add_argument("--ch_out", type=int, default=None,
+                        help="output channels (default: same as --ch; the "
+                             "DINOSAUR CNN-head convs halve channels)")
     parser.add_argument("--k", type=int, default=5)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--windows", type=int, default=2)
@@ -60,17 +63,18 @@ def main():
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     r, c, k = args.res, args.ch, args.k
-    dn = jax.lax.conv_dimension_numbers((1, r, r, c), (k, k, c, c),
+    co = args.ch_out or c
+    dn = jax.lax.conv_dimension_numbers((1, r, r, c), (k, k, c, co),
                                         ("NHWC", "HWIO", "NHWC"))
     pad = [(k // 2, k // 2)] * 2
-    flops = 2 * args.rows * r * r * k * k * c * c
+    flops = 2 * args.rows * r * r * k * k * c * co
 
     key = jax.random.PRNGKey(0)
     x_f = jax.random.normal(key, (args.rows, r, r, c), jnp.bfloat16)
-    w_f = jax.random.normal(jax.random.PRNGKey(1), (k, k, c, c), jnp.bfloat16)
+    w_f = jax.random.normal(jax.random.PRNGKey(1), (k, k, c, co), jnp.bfloat16)
     x_i = jnp.clip(jnp.round(x_f.astype(jnp.float32) * 32), -127, 127).astype(jnp.int8)
     w_i = jnp.clip(jnp.round(w_f.astype(jnp.float32) * 32), -127, 127).astype(jnp.int8)
-    scales = jax.random.uniform(jax.random.PRNGKey(2), (c,), jnp.float32,
+    scales = jax.random.uniform(jax.random.PRNGKey(2), (co,), jnp.float32,
                                 0.001, 0.01)
 
     @jax.jit

@@ -80,8 +80,7 @@ def test_quant_mode_gate():
         decode_quant_mode(exp)
     dino = build_exp_params("ExtendedDINOSAUR", "CLIPort")
     dino["tpu"] = {"decode_quant": "int8"}
-    with pytest.raises(ValueError, match="SAVi"):
-        decode_quant_mode(dino)
+    assert decode_quant_mode(dino) == "int8"
 
 
 def test_quant_requires_fast_decode_structure():
@@ -104,6 +103,51 @@ def test_quant_requires_fast_decode_structure():
     with pytest.raises(ValueError, match="decode_quant"):
         model.apply(variables, slots, method="decode",
                     quant_scales=jnp.ones(1), mutable=["batch_stats"])
+
+
+def test_patch_decoder_quant_close_to_bf16():
+    """MLPPatchDecoder int8: patch-MLP denses + BN-folded CNN head convs.
+    Errors bounded on images AND features; calibration covers both stages
+    (num_layers + num_layers_cnn scales)."""
+    from textocvp_tpu.nn.decoders import MLPPatchDecoder
+
+    dec = MLPPatchDecoder(num_patches=16, in_dim=8, hidden_dim=16, out_dim=9,
+                          num_layers=3, initial_layer_norm=True,
+                          reconstruct_images=True, patch_size=14, img_size=24,
+                          num_layers_cnn=3)
+    slots = jax.random.normal(jax.random.PRNGKey(0), (4, 3, 8))
+    variables = dec.init(jax.random.PRNGKey(1), slots)
+
+    amaxes = dec.apply(variables, slots, calibrate=True)
+    assert amaxes.shape == (6,)  # 3 MLP + 3 CNN inputs
+    scales = jnp.maximum(amaxes, 1e-12) / 127.0
+
+    ref = dec.apply(variables, slots)
+    q = dec.apply(variables, slots, quant_scales=scales)
+    for k in ("recons_imgs", "recons_feats", "masks"):
+        a = np.asarray(ref[k], np.float32)
+        b = np.asarray(q[k], np.float32)
+        denom = max(np.abs(a).max(), 1e-6)
+        assert np.abs(a - b).max() / denom < 0.05, (
+            f"{k}: int8 relative err {np.abs(a - b).max() / denom}")
+
+
+def test_patch_decoder_param_paths_unchanged():
+    """The setup()-style refactor of MLPPatchDecoder (needed for the
+    functional quant walk) must keep the exact param tree the torch importer
+    and existing checkpoints target."""
+    from textocvp_tpu.nn.decoders import MLPPatchDecoder
+
+    dec = MLPPatchDecoder(num_patches=16, in_dim=8, hidden_dim=16, out_dim=9,
+                          num_layers=2, initial_layer_norm=True,
+                          reconstruct_images=True, patch_size=14, img_size=24,
+                          num_layers_cnn=2)
+    slots = jnp.zeros((1, 3, 8))
+    variables = dec.init(jax.random.PRNGKey(0), slots)
+    assert sorted(variables["params"].keys()) == [
+        "cnn_0", "cnn_1", "cnn_final", "initial_ln", "mlp_0", "mlp_1",
+        "pos_embed"]
+    assert sorted(variables["batch_stats"].keys()) == ["cnn_0", "cnn_1"]
 
 
 def test_evaluator_end_to_end_with_quant(tmp_path):

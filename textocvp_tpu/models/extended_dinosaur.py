@@ -78,21 +78,33 @@ class ExtendedDINOSAUR(nn.Module):
 
     # ------------------------------------------------------------------ decode
     def decode(self, slots, train: bool = False, tail_chunks: int = 1,
-               tail_remat: bool = False, tail_unroll=None):
+               tail_remat: bool = False, tail_unroll=None, quant_scales=None):
         """Slots (N, S, D) -> patch features, masks and optional images.
 
         ``tail_chunks``/``tail_remat``/``tail_unroll`` are accepted for call-site uniformity
         with SAVi.decode but currently unused: the MLP patch decoder is
         matmul-shaped and does not exhibit the flat-conv-batch scheduling
         pathology the chunked scan works around (docs/PERFORMANCE.md "decode
-        chunking")."""
+        chunking").
+
+        ``quant_scales`` switches the patch-MLP denses and the BN-folded
+        CNN-head convs to int8 with these calibrated activation scales (see
+        :meth:`decode_calibrate`; opt-in via ``tpu.decode_quant`` —
+        models/quant.py)."""
         del tail_chunks, tail_remat, tail_unroll
-        return self.patch_decoder(slots, train=train)
+        return self.patch_decoder(slots, train=train, quant_scales=quant_scales)
+
+    def decode_calibrate(self, slots):
+        """Per-layer decoder input amaxes (L,) for int8 calibration — the
+        MLP-dense inputs followed by the CNN-head conv inputs. Divide by 127
+        for :meth:`decode`'s ``quant_scales``
+        (models/quant.py::calibrate_decode_scales does this)."""
+        return self.patch_decoder(slots, calibrate=True)
 
     # ------------------------------------------------------------------ decomp
     def decompose(self, x, decode: bool = True, train: bool = False,
                   tail_chunks: int = 1, tail_remat: bool = False,
-                  tail_unroll=None):
+                  tail_unroll=None, quant_scales=None):
         """
         Video (B, T, H, W, C) in [0,1] -> slots + reconstructions.
 
@@ -129,7 +141,8 @@ class ExtendedDINOSAUR(nn.Module):
         if decode:
             dec = self.decode(slot_history.reshape(b * t, self.num_slots, self.slot_dim),
                               train=train, tail_chunks=tail_chunks,
-                              tail_remat=tail_remat, tail_unroll=tail_unroll)
+                              tail_remat=tail_remat, tail_unroll=tail_unroll,
+                              quant_scales=quant_scales)
             p, f = dec["recons_feats"].shape[1:]
             out["recons_feats"] = dec["recons_feats"].reshape(b, t, p, f)
             out["masks"] = dec["masks"].reshape(b, t, *dec["masks"].shape[1:])
@@ -140,7 +153,7 @@ class ExtendedDINOSAUR(nn.Module):
 
     def __call__(self, x, decode: bool = True, train: bool = False,
                  tail_chunks: int = 1, tail_remat: bool = False,
-                 tail_unroll=None):
+                 tail_unroll=None, quant_scales=None):
         return self.decompose(x, decode=decode, train=train,
                               tail_chunks=tail_chunks, tail_remat=tail_remat,
-                              tail_unroll=tail_unroll)
+                              tail_unroll=tail_unroll, quant_scales=quant_scales)

@@ -5,16 +5,20 @@ slot-frames — is ~68% of the eval step and runs at ~60% of the v5e bf16 MXU
 peak. The int8 MXU path is ~2x that peak, and the probe at the production
 chunk shape measured **1.68x** per conv including dequant
 (bench_int8_conv.py; docs/PERFORMANCE.md "int8 decode"). This module wires
-post-training quantization of the hidden tail convs:
+post-training quantization of the decoder:
 
+* SAVi ``ConvDecoder``: the hidden tail convs (ConvDecoder._quantize_conv);
+* ExtendedDINOSAUR ``MLPPatchDecoder``: the patch-MLP denses (1.62x
+  measured) and the CNN-head convs with BatchNorm folded into the conv
+  affine (1.44x/1.30x/1.35x/1.09x per layer at the CLIPort protocol shapes);
 * **weights**: per-output-channel symmetric int8, quantized inside the
   traced program (const-folded when the frozen decoder weights are baked);
 * **activations**: per-tensor symmetric int8 with STATIC scales calibrated
   from real data (one bf16 amax pass on the first batch / warmup sample),
-  so the quantize fuses into the producing conv's epilogue and intermediates
+  so the quantize fuses into the producing op's epilogue and intermediates
   are written to HBM as int8 — no per-step dynamic-range pass;
-* the final RGBA conv stays bf16/f32 (1/16th of the FLOPs; the mask softmax
-  consumes its precision).
+* the final RGB(A) conv stays bf16/f32 (a sliver of the FLOPs; the output's
+  precision is consumed directly).
 
 This CHANGES outputs (quantization error), so it is opt-in per experiment
 (``tpu: {"decode_quant": "int8"}``) and every results.json produced with it
@@ -42,12 +46,11 @@ def decode_quant_mode(exp_params: dict) -> Optional[str]:
         raise ValueError(
             f"tpu.decode_quant must be one of {VALID}, got {mode!r}")
     model_name = (exp_params.get("model") or {}).get("model_name")
-    if mode is not None and model_name != "SAVi":
+    if mode is not None and model_name not in ("SAVi", "ExtendedDINOSAUR"):
         raise ValueError(
-            "tpu.decode_quant supports the SAVi ConvDecoder only (the "
-            "ExtendedDINOSAUR patch decoder is MLP+BN-CNN — no measured int8 "
-            f"win there); this experiment uses {model_name!r}. Unset "
-            "tpu.decode_quant.")
+            "tpu.decode_quant supports the SAVi ConvDecoder and the "
+            "ExtendedDINOSAUR MLPPatchDecoder; this experiment uses "
+            f"{model_name!r}. Unset tpu.decode_quant.")
     return mode
 
 

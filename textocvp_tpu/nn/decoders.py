@@ -339,29 +339,110 @@ class MLPPatchDecoder(nn.Module):
         g = int(self.num_patches ** 0.5)
         return (g, g)
 
-    @nn.compact
-    def __call__(self, slots, train: bool = False):
-        """
-        slots: (B, num_slots, slot_dim). Returns dict with recons_feats
-        (B, P, out_dim-1), masks (B, S, 1, gh, gw), recons_imgs
-        (B, H, W, 3) or None.
-        """
-        b, s, d = slots.shape
-        pos_embed = self.param(
+    def _cnn_plan(self):
+        """Static (out_channels, upsample_after) per CNN-head layer — the
+        reference's in-loop channel-halving/upsampling schedule
+        (decoders.py:325-365) precomputed so setup() and the quantized
+        functional walk agree exactly."""
+        plan = []
+        hidden = self.hidden_dim
+        current = self.patch_grid[0]
+        for i in range(self.num_layers_cnn):
+            grow = ((i + 1) * 2 < self.patch_size) and (current < self.img_size)
+            if (i > 0) and grow:
+                hidden = hidden // 2
+            plan.append((hidden, grow))
+            if grow:
+                current *= 2
+        return plan
+
+    def setup(self):
+        self.pos_embed = self.param(
             "pos_embed",
             lambda key, shape: jax.random.normal(key, shape) / (self.in_dim ** 0.5),
             (1, 1, self.num_patches, self.in_dim),
         )
+        if self.initial_layer_norm:
+            self.initial_ln = nn.LayerNorm(dtype=self.dtype)
+        self.mlps = [
+            nn.Dense(self.hidden_dim if i < self.num_layers - 1 else self.out_dim,
+                     kernel_init=xavier_uniform, dtype=self.dtype, name=f"mlp_{i}")
+            for i in range(self.num_layers)
+        ]
+        if self.reconstruct_images:
+            self.cnns = [
+                ConvBlock(out_channels=hidden, kernel_size=3, stride=1,
+                          batch_norm=True, dtype=self.dtype, name=f"cnn_{i}")
+                for i, (hidden, _) in enumerate(self._cnn_plan())
+            ]
+            self.cnn_final = nn.Conv(3, (3, 3), padding=1,
+                                     kernel_init=xavier_uniform, dtype=self.dtype)
+
+    @staticmethod
+    def _quantize_dense(x, params, a_scale):
+        """int8 x int8 -> int32 dense with per-tensor activation scale and
+        per-output-column weight scales, dequantized to f32 (+bias). Same
+        design as ConvDecoder._quantize_conv — static scales let the
+        quantize fuse into the producer's epilogue."""
+        w = params["kernel"].astype(jnp.float32)
+        w_scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-30) / 127.0
+        w_q = jnp.round(w / w_scale).astype(jnp.int8)
+        x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                       -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * (a_scale * w_scale) + params[
+            "bias"].astype(jnp.float32)
+
+    @staticmethod
+    def _fold_bn(block):
+        """Inference-time BatchNorm folded into the preceding conv's affine —
+        exact given the running stats (the quantized path has no separate BN
+        op to attach to)."""
+        p = block.conv.variables["params"]
+        bnp = block.bn.variables["params"]
+        stats = block.bn.variables["batch_stats"]
+        s = bnp["scale"].astype(jnp.float32) / jnp.sqrt(
+            stats["var"].astype(jnp.float32) + block.bn.epsilon)
+        kernel = p["kernel"].astype(jnp.float32) * s
+        bias = (p["bias"].astype(jnp.float32)
+                - stats["mean"].astype(jnp.float32)) * s + bnp["bias"].astype(
+                    jnp.float32)
+        return kernel, bias
+
+    def __call__(self, slots, train: bool = False, quant_scales=None,
+                 calibrate: bool = False):
+        """
+        slots: (B, num_slots, slot_dim). Returns dict with recons_feats
+        (B, P, out_dim-1), masks (B, S, 1, gh, gw), recons_imgs
+        (B, H, W, 3) or None.
+
+        ``quant_scales`` (an ``(L,)`` f32 array, L = num_layers [+
+        num_layers_cnn when reconstructing images]) switches the patch-MLP
+        denses and the BN-folded CNN-head convs to int8 (measured 1.62x /
+        ~1.3x per op on v5e — docs/PERFORMANCE.md "int8 decode"); the final
+        RGB conv stays bf16/f32. ``calibrate=True`` runs the bf16 path and
+        returns the (L,) per-layer input amaxes instead of outputs.
+        """
+        b, s, d = slots.shape
+        quant = quant_scales is not None and not self.is_initializing()
+        amaxes = []
         x = jnp.broadcast_to(slots[:, :, None, :], (b, s, self.num_patches, d))
-        x = x + jnp.asarray(pos_embed, self.dtype)
+        x = x + jnp.asarray(self.pos_embed, self.dtype)
 
         if self.initial_layer_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="initial_ln")(x)
-        for i in range(self.num_layers):
-            feat = self.hidden_dim if i < self.num_layers - 1 else self.out_dim
-            x = nn.Dense(feat, kernel_init=xavier_uniform, dtype=self.dtype, name=f"mlp_{i}")(x)
+            x = self.initial_ln(x)
+        for i, dense in enumerate(self.mlps):
+            if calibrate:
+                amaxes.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+            if quant:
+                x = self._quantize_dense(x, dense.variables["params"],
+                                         quant_scales[i])
+            else:
+                x = dense(x)
             if i < self.num_layers - 1:
                 x = nn.relu(x)
+        x = x.astype(self.dtype)
 
         feats, alpha = x[..., :-1], x[..., -1:]
         alpha = jax.nn.softmax(alpha.astype(jnp.float32), axis=1).astype(x.dtype)
@@ -371,31 +452,41 @@ class MLPPatchDecoder(nn.Module):
 
         recons_imgs = None
         if self.reconstruct_images:
-            grid = recons_feats.reshape(b, gh, gw, self.out_dim - 1)  # NHWC
-            recons_imgs = self._conv_patch_decoder(grid, train=train)
+            recons_imgs = self._conv_patch_decoder(
+                recons_feats.reshape(b, gh, gw, self.out_dim - 1),  # NHWC
+                train=train,
+                quant_scales=quant_scales[self.num_layers:] if quant else None,
+                calibrate=calibrate, amaxes=amaxes)
+        if calibrate:
+            return jnp.stack(amaxes)
         return {"recons_imgs": recons_imgs, "recons_feats": recons_feats, "masks": masks}
 
-    def _conv_patch_decoder(self, x, train: bool = False):
+    def _conv_patch_decoder(self, x, train: bool = False, quant_scales=None,
+                            calibrate: bool = False, amaxes=None):
         """
         CNN head: conv blocks with batch norm, x2 nearest upsampling while the
         spatial size is below img_size and (i+1)*2 < patch_size, halving the
         channel count after the first upsample (reference decoders.py:325-365);
         final 3x3 conv to RGB and bilinear resize to the exact image size.
+
+        With ``quant_scales``: each ConvBlock's conv+BN is folded to one
+        affine (:meth:`_fold_bn`) and run int8 via ConvDecoder._quantize_conv;
+        ReLU and upsample placement unchanged.
         """
-        hidden = self.hidden_dim
-        current = self.patch_grid[0]
-        for i in range(self.num_layers_cnn):
-            if (i > 0) and ((i + 1) * 2 < self.patch_size) and (current < self.img_size):
-                hidden = hidden // 2
-            x = ConvBlock(
-                out_channels=hidden, kernel_size=3, stride=1, batch_norm=True,
-                dtype=self.dtype, name=f"cnn_{i}",
-            )(x, train=train)
-            if ((i + 1) * 2 < self.patch_size) and (current < self.img_size):
+        for i, (block, (_, grow)) in enumerate(zip(self.cnns, self._cnn_plan())):
+            if calibrate:
+                amaxes.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
+            if quant_scales is not None:
+                kernel, bias = self._fold_bn(block)
+                x = nn.relu(ConvDecoder._quantize_conv(
+                    x, kernel, bias, 1, quant_scales[i]))
+            else:
+                x = block(x, train=train)
+            if grow:
                 x = upsample_nearest(x, 2)
-                current *= 2
-        x = nn.Conv(3, (3, 3), padding=1, kernel_init=xavier_uniform,
-                    dtype=self.dtype, name="cnn_final")(x)
+        if calibrate:
+            return None
+        x = self.cnn_final(x)
         if x.shape[1] != self.img_size:
             x = upsample_bilinear(x, (self.img_size, self.img_size))
         return x
