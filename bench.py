@@ -91,9 +91,10 @@ def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pall
         )
         return pred_slots
 
-    from textocvp_tpu.models.chunked import pick_tail_chunks
+    from textocvp_tpu.models.chunked import resolve_tail_chunks
 
-    tail_chunks = pick_tail_chunks(batch_size * num_preds, num_slots)
+    tail_chunks = resolve_tail_chunks(None, batch_size * num_preds, num_slots,
+                                      quant=decode_quant == "int8")
 
     quant_scales = None
     if decode_quant == "int8":

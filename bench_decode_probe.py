@@ -27,14 +27,15 @@ import sys
 import time
 
 
-def build_decode(model, model_vars, num_slots, slot_dim, n_rows, tail_chunks):
+def build_decode(model, model_vars, num_slots, slot_dim, n_rows, tail_chunks,
+                 quant_scales=None):
     import jax
     import jax.numpy as jnp
 
     @jax.jit
     def decode_stage(pred_slots):
         dec = model.apply(model_vars, pred_slots, method="decode",
-                          tail_chunks=tail_chunks)
+                          tail_chunks=tail_chunks, quant_scales=quant_scales)
         imgs = jnp.clip(dec["recons_imgs"], 0, 1)
         return jnp.sum(imgs)
 
@@ -51,6 +52,8 @@ def main():
     parser.add_argument("--unrolls", default="1,2,4")
     parser.add_argument("--flat", action="store_true", default=False,
                         help="also time the flat (chunks=1) decode")
+    parser.add_argument("--decode_quant", default=None, choices=["int8"],
+                        help="probe the grid under the int8 decoder tail")
     args = parser.parse_args()
 
     import jax
@@ -107,9 +110,18 @@ def main():
     unroll_list = [int(u) for u in args.unrolls.split(",")]
     results = []
 
+    quant_scales = None
+    if args.decode_quant == "int8":
+        from textocvp_tpu.models.quant import calibrate_decode_scales
+
+        quant_scales = jnp.asarray(calibrate_decode_scales(
+            model, model_vars,
+            pred_slots.reshape(-1, num_slots, slot_dim)[:256]))
+        print(f"int8 scales: {quant_scales}", file=sys.stderr)
+
     if args.flat:
         ms = time_variant(build_decode(model, model_vars, num_slots, slot_dim,
-                                       n_rows, 1))
+                                       n_rows, 1, quant_scales))
         r = {"variant": "flat", "ms": round(ms, 1),
              "tflops": round(total_flops / (ms / 1000) / 1e12, 1)}
         results.append(r)
@@ -120,7 +132,7 @@ def main():
             continue
         os.environ["TEXTOCVP_TAIL_UNROLL"] = str(unroll)
         ms = time_variant(build_decode(model, model_vars, num_slots, slot_dim,
-                                       n_rows, chunks))
+                                       n_rows, chunks, quant_scales))
         r = {"variant": f"chunks={chunks} unroll={unroll}", "ms": round(ms, 1),
              "tflops": round(total_flops / (ms / 1000) / 1e12, 1)}
         results.append(r)

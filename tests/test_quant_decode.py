@@ -150,6 +150,24 @@ def test_patch_decoder_param_paths_unchanged():
     assert sorted(variables["batch_stats"].keys()) == ["cnn_0", "cnn_1"]
 
 
+def test_quant_chunk_policy_prefers_flat():
+    """Under int8 the measured-fastest decode is FLAT (the bf16 chunking
+    pathology inverts; docs/PERFORMANCE.md 'int8 decode'), so the auto
+    policy must return 1 when quantizing while an explicit config wins."""
+    from textocvp_tpu.models.chunked import (
+        decode_candidate_schedules,
+        resolve_tail_chunks,
+    )
+
+    rows, slots = 64 * 19, 8  # flagship: bf16 policy picks 4 chunks
+    assert resolve_tail_chunks(None, rows, slots) > 1
+    assert resolve_tail_chunks(None, rows, slots, quant=True) == 1
+    assert resolve_tail_chunks("auto", rows, slots, quant=True) == 1
+    assert resolve_tail_chunks(4, rows, slots, quant=True) == 4  # explicit wins
+    cands = decode_candidate_schedules(rows, slots, quant=True)
+    assert cands[0][0] == 1  # policy pick is flat
+
+
 def test_evaluator_end_to_end_with_quant(tmp_path):
     """03-style eval with tpu.decode_quant=int8: finite metrics and the
     decode_quant honesty flag in results.json."""

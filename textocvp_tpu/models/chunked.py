@@ -54,11 +54,19 @@ def pick_tail_chunks(n_rows: int, num_slots: int,
     return best
 
 
-def resolve_tail_chunks(config_value, n_rows: int, num_slots: int) -> int:
+def resolve_tail_chunks(config_value, n_rows: int, num_slots: int,
+                        quant: bool = False) -> int:
     """Resolve the ``tpu.decode_chunks`` experiment option: None/"auto" ->
-    measured policy; an int -> that many chunks (1 disables)."""
+    measured policy; an int -> that many chunks (1 disables).
+
+    ``quant``: under the int8 decoder tail the chunking pathology INVERTS —
+    the flat decode is fastest (127.3 ms vs 142.8 for the best chunked form
+    at the flagship shape; int8 intermediates halve the working set, so the
+    giant flat batch no longer thrashes — bench_decode_probe.py
+    --decode_quant int8, docs/PERFORMANCE.md "int8 decode"). Auto policy
+    therefore returns 1 when quantizing; an explicit int still wins."""
     if config_value in (None, "auto"):
-        return pick_tail_chunks(n_rows, num_slots)
+        return 1 if quant else pick_tail_chunks(n_rows, num_slots)
     return max(1, int(config_value))
 
 
@@ -100,15 +108,17 @@ def pick_tail_unroll(tail_chunks: int, remat: bool = False) -> int:
 
 
 def decode_candidate_schedules(n_rows: int, num_slots: int,
-                               configured_chunks=None):
+                               configured_chunks=None, quant: bool = False):
     """Candidate (tail_chunks, tail_unroll) pairs for the runtime decode
     autotuner (``tpu.decode_autotune``): the static policy pick, its fully
     unrolled form, and the neighboring chunk counts. Small, because each
     candidate costs one compile of the decode stage. An explicit
     ``tpu.decode_chunks`` config (``configured_chunks``) is always among the
     candidates — the user's override must at least be measured, never
-    silently disregarded."""
-    c0 = pick_tail_chunks(n_rows, num_slots)
+    silently disregarded. With ``quant`` the policy pick is flat (see
+    resolve_tail_chunks), so the candidate set degenerates to flat plus a
+    couple of chunked probes."""
+    c0 = 1 if quant else pick_tail_chunks(n_rows, num_slots)
     cands = []
 
     def add(c: int, u: int):

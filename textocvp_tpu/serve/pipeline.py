@@ -329,6 +329,15 @@ class PredictionService(InferenceFrontend):
 
         def build_decode_stage(quant_scales=None):
             mk = partial(make_decode_stage, quant_scales=quant_scales)
+            if quant_scales is not None:
+                # under int8 the flat decode is fastest — the chunking
+                # pathology inverts (models/chunked.py::resolve_tail_chunks)
+                from textocvp_tpu.models.chunked import resolve_tail_chunks
+
+                cfg = (self.exp_params.get("tpu") or {}).get("decode_chunks")
+                mk = partial(make_decode_stage, quant_scales=quant_scales,
+                             tail_chunks=resolve_tail_chunks(
+                                 cfg, self.batch_size * p, s, quant=True))
             if autotune_enabled(self.exp_params):
                 from textocvp_tpu.core.logger import print_
                 from textocvp_tpu.models.chunked import decode_candidate_schedules
@@ -337,7 +346,8 @@ class PredictionService(InferenceFrontend):
 
                 def schedules_of(pred_slots):
                     return decode_candidate_schedules(
-                        pred_slots.shape[0] * p, s, configured_chunks=cfg_chunks)
+                        pred_slots.shape[0] * p, s, configured_chunks=cfg_chunks,
+                        quant=quant_scales is not None)
 
                 def sync(imgs):
                     np.asarray(imgs)  # full output fetch = the real serving cost

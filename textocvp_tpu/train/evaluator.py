@@ -137,8 +137,9 @@ class DecompEvaluator:
             # docs/PERFORMANCE.md "decode chunking"). ExtendedDINOSAUR
             # accepts and ignores tail_chunks (measured: no win there).
             if tail_chunks is None:
-                tail_chunks = resolve_tail_chunks(decode_chunks_cfg, b * t, n_slots)
-            # int8 decode (tpu.decode_quant): SAVi-only, guarded at setup
+                tail_chunks = resolve_tail_chunks(
+                    decode_chunks_cfg, b * t, n_slots,
+                    quant=quant_scales is not None)
             qkw = {} if quant_scales is None else {"quant_scales": quant_scales}
             out = model.apply(
                 variables, videos, rngs={"slots": rng},
@@ -185,7 +186,8 @@ class DecompEvaluator:
                 def schedules_of(videos, rng):
                     b, t = videos.shape[:2]
                     return decode_candidate_schedules(
-                        b * t, n_slots, configured_chunks=decode_chunks_cfg)
+                        b * t, n_slots, configured_chunks=decode_chunks_cfg,
+                        quant=quant_scales is not None)
 
                 def sync(vals):
                     np.asarray(next(iter(vals.values())))
@@ -398,8 +400,9 @@ class PredictorEvaluator:
             # decoder tail convs scanned over chunks: ~1.6x on large TPU
             # eval batches, exact (docs/PERFORMANCE.md "decode chunking")
             if tail_chunks is None:
-                tail_chunks = resolve_tail_chunks(decode_chunks_cfg, b * p, num_slots)
-            # int8 decode (tpu.decode_quant): SAVi-only, guarded at setup
+                tail_chunks = resolve_tail_chunks(
+                    decode_chunks_cfg, b * p, num_slots,
+                    quant=quant_scales is not None)
             qkw = {} if quant_scales is None else {"quant_scales": quant_scales}
             dec = decomp_model.apply(
                 dv, pred_slots.reshape(b * p, num_slots, slot_dim),
@@ -455,7 +458,8 @@ class PredictorEvaluator:
                 def schedules_of(pred_slots, videos):
                     b = pred_slots.shape[0]
                     return decode_candidate_schedules(
-                        b * p, num_slots, configured_chunks=decode_chunks_cfg)
+                        b * p, num_slots, configured_chunks=decode_chunks_cfg,
+                        quant=quant_scales is not None)
 
                 def sync(out):
                     np.asarray(next(iter(out[0].values())))
