@@ -236,6 +236,36 @@ def test_predictor_evaluation_autotune(trained_exp, trained_predictor, capsys):
     assert np.isfinite(results["psnr"]["mean"])
 
 
+def test_predictor_evaluation_with_quant(trained_exp, trained_predictor):
+    """tpu.decode_quant=int8 on the 05 surface: calibrates on the first
+    batch's predicted slots, metrics stay finite and close to the bf16 eval,
+    and results.json carries the honesty flag."""
+    from textocvp_tpu.train.evaluator import PredictorEvaluator
+
+    def run(quant):
+        ev = PredictorEvaluator(
+            trained_exp.exp_path, "pred_tiny",
+            decomp_ckpt="checkpoint_epoch_final",
+            pred_ckpt="checkpoint_epoch_final",
+            num_seed=1, num_preds=3, batch_size=8, metrics=("psnr",),
+            results_name=f"quant_{quant}",
+        )
+        if quant:
+            ev.exp_params.setdefault("tpu", {})["decode_quant"] = "int8"
+        ev.load_data()
+        videos, others = next(iter(ev.test_loader))
+        ev.load_models(videos, others)
+        return ev, ev.evaluate()
+
+    ev_q, res_q = run(True)
+    _, res_b = run(False)
+    assert res_q["decode_quant"] == "int8"
+    assert "decode_quant" not in res_b
+    assert ev_q.decode_quant_scales.ndim == 1
+    # same rollout, quantized decode: PSNR within a fraction of a dB
+    assert abs(res_q["psnr"]["mean"] - res_b["psnr"]["mean"]) < 0.5
+
+
 def test_accum_step_matches_flat(tmp_path_factory):
     """training.accum_steps=4 must yield the same loss and (within adam
     reassociation noise) the same parameter update as the flat step: equal
