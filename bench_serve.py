@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--num_preds", type=int, default=19)
     ap.add_argument("--requests", type=int, default=8)
+    ap.add_argument("--decode_quant", default=None, choices=["int8"],
+                    help="opt-in int8 decode on the served model "
+                         "(docs/PERFORMANCE.md 'int8 decode')")
     args = ap.parse_args()
 
     import numpy as np
@@ -79,6 +82,13 @@ def main():
 
         from textocvp_tpu.serve import PredictionService, serve
 
+        if args.decode_quant:
+            import json as _json
+
+            pp = Path(exp_path) / "predictors" / "t5" / "experiment_params.json"
+            d = _json.loads(pp.read_text())
+            d.setdefault("tpu", {})["decode_quant"] = args.decode_quant
+            pp.write_text(_json.dumps(d))
         service = PredictionService(
             exp_path, "t5", decomp_ckpt="checkpoint_epoch_final",
             pred_ckpt="checkpoint_epoch_final", batch_size=args.batch)
@@ -108,9 +118,11 @@ def main():
         out = np.load(io.BytesIO(body))["pred_frames"]
         assert out.shape[0] == args.batch
         frames_total = args.requests * args.batch * args.num_preds
+        suffix = (f", decode_quant={args.decode_quant}"
+                  if args.decode_quant else "")
         print(json.dumps({
             "metric": "serve_pred_frames_per_sec (HTTP end-to-end, CATER "
-                      "SAVi+TextOCVP_T5)",
+                      f"SAVi+TextOCVP_T5{suffix})",
             "value": round(frames_total / dt, 2),
             "unit": "frames/s",
             "request_latency_ms": round(1000 * dt / args.requests, 1),
