@@ -350,3 +350,38 @@ def test_quantized_service_close_to_plain_and_exports(served_exp, service,
     quant._counter = restored._counter = 123
     q2 = restored.predict(frames, caps)
     np.testing.assert_array_equal(q1, q2)
+
+
+def test_quantized_service_warmup_calibrates_on_noise(served_exp):
+    """warmup() on a quantized service must calibrate on NON-degenerate
+    frames (a black video would under-estimate the int8 ranges and clip
+    real requests), and calibrate() is quant-only."""
+    import json
+
+    from textocvp_tpu.serve import PredictionService
+
+    params_path = served_exp / "predictors" / "tiny_tf" / "experiment_params.json"
+    original = params_path.read_text()
+    p = json.loads(original)
+    p.setdefault("tpu", {})["decode_quant"] = "int8"
+    params_path.write_text(json.dumps(p))
+    try:
+        quant = PredictionService(
+            served_exp, "tiny_tf",
+            decomp_ckpt="checkpoint_epoch_final",
+            pred_ckpt="checkpoint_epoch_final",
+            batch_size=2, max_tokens=8)
+    finally:
+        params_path.write_text(original)
+
+    quant.warmup()
+    assert np.all(quant.decode_quant_scales > 0)
+
+    plain = PredictionService(
+        served_exp, "tiny_tf",
+        decomp_ckpt="checkpoint_epoch_final",
+        pred_ckpt="checkpoint_epoch_final",
+        batch_size=2, max_tokens=8)
+    frames = np.random.default_rng(0).random((1, 1, RES, RES, 3), np.float32)
+    with pytest.raises(ValueError, match="decode_quant"):
+        plain.calibrate(frames, ["the snitch is picked up"])

@@ -54,6 +54,36 @@ def decode_quant_mode(exp_params: dict) -> Optional[str]:
     return mode
 
 
+def lazy_quantized_stage(build_stage, slots_of, decomp_model, decomp_vars,
+                         on_scales=None, log=print):
+    """First call calibrates on that call's inputs, builds the quantized
+    stage, and reuses it from then on — the shared wiring for both
+    evaluators and the serving pipeline (one implementation so
+    thread-safety/logging/recalibration fixes cannot drift).
+
+    ``build_stage(scales)`` -> the stage callable; ``slots_of(*args)`` ->
+    the (N, S, D) calibration slots for the first call's arguments;
+    ``on_scales(np_scales)`` optional hook (evaluators stash them on self).
+    The returned callable exposes ``.inner()`` -> the built stage (or None
+    before calibration) for AOT export."""
+    import jax.numpy as jnp
+
+    holder = {}
+
+    def stage(*args):
+        if "stage" not in holder:
+            scales = calibrate_decode_scales(decomp_model, decomp_vars,
+                                             slots_of(*args))
+            if on_scales is not None:
+                on_scales(scales)
+            log(f"int8 decode calibration: scales={scales.tolist()}")
+            holder["stage"] = build_stage(jnp.asarray(scales))
+        return holder["stage"](*args)
+
+    stage.inner = lambda: holder.get("stage")
+    return stage
+
+
 def calibrate_decode_scales(decomp_model, decomp_vars, slots) -> np.ndarray:
     """Per-layer activation scales (L,) for the int8 decoder tail.
 

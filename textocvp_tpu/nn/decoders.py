@@ -182,6 +182,15 @@ class ConvDecoder(nn.Module):
         if calibrate:
             return self._tail_amaxes(x)
         if quant_scales is not None and not self.is_initializing():
+            # fail fast on a scale/config mismatch: out-of-bounds jnp
+            # indexing CLAMPS under jit, so a short vector would silently
+            # reuse the last scale for the remaining convs
+            expected = len(self.hidden_dims) - 1
+            if quant_scales.shape[0] != expected:
+                raise ValueError(
+                    f"quant_scales has {quant_scales.shape[0]} entries but "
+                    f"this ConvDecoder has {expected} hidden tail convs — "
+                    "recalibrate for this decoder config")
             # quantized tail always runs the functional form (tail_chunks=1
             # compiles to the flat body) so quality does not depend on the
             # chunking schedule the batch size happens to pick
@@ -426,6 +435,18 @@ class MLPPatchDecoder(nn.Module):
         """
         b, s, d = slots.shape
         quant = quant_scales is not None and not self.is_initializing()
+        if quant:
+            # fail fast on a scale/config mismatch (out-of-bounds jnp
+            # indexing clamps under jit instead of raising)
+            expected = self.num_layers + (self.num_layers_cnn
+                                          if self.reconstruct_images else 0)
+            if quant_scales.shape[0] != expected:
+                raise ValueError(
+                    f"quant_scales has {quant_scales.shape[0]} entries but "
+                    f"this MLPPatchDecoder needs {expected} "
+                    f"({self.num_layers} MLP + "
+                    f"{self.num_layers_cnn if self.reconstruct_images else 0}"
+                    " CNN) — recalibrate for this decoder config")
         amaxes = []
         x = jnp.broadcast_to(slots[:, :, None, :], (b, s, self.num_patches, d))
         x = x + jnp.asarray(self.pos_embed, self.dtype)

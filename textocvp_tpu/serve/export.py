@@ -61,7 +61,9 @@ def export_service(service, out_dir) -> Path:
         if decode_stage is None:
             raise ValueError(
                 "quantized service (tpu.decode_quant) has not been "
-                "calibrated yet — call service.warmup() before export")
+                "calibrated yet — call service.calibrate(real_frames, "
+                "captions) (preferred: the exported artifact bakes these "
+                "scales permanently) or service.warmup() before export")
     if getattr(decode_stage, "lower", None) is None:
         raise ValueError(
             "the decode stage is not a plain jitted function — build the "

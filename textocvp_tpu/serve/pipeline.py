@@ -112,10 +112,33 @@ class InferenceFrontend:
         return "warmup"
 
     def warmup(self):
-        """Compile/load both executables with a dummy request (idempotent)."""
+        """Compile/load both executables with a dummy request (idempotent).
+
+        Quantized services (tpu.decode_quant) CALIBRATE on their first
+        request, so the dummy must not be degenerate: a black video's slot
+        activations would under-estimate the int8 ranges and clip every
+        real request. Noise frames give a non-degenerate range; for
+        tightest quality (especially before AOT export, which bakes the
+        scales), call :meth:`calibrate` with real frames first."""
         h, w = self.resolution
-        frames = np.zeros((1, self.num_context, h, w, 3), dtype=np.float32)
+        if getattr(self, "_quant_mode", None):
+            frames = np.random.default_rng(14).uniform(
+                0, 1, (1, self.num_context, h, w, 3)).astype(np.float32)
+        else:
+            frames = np.zeros((1, self.num_context, h, w, 3), dtype=np.float32)
         self.predict(frames, [self._warmup_caption()])
+
+    def calibrate(self, frames: np.ndarray, captions: Sequence[str]):
+        """Explicitly calibrate a quantized service on REPRESENTATIVE data
+        (one normal predict call) — run this with real frames before
+        serving traffic or exporting AOT artifacts, so the baked int8
+        scales cover the true activation range rather than the warmup
+        sample's. No-op re-calls are not supported: the first predict wins
+        (models/quant.py::lazy_quantized_stage)."""
+        if not getattr(self, "_quant_mode", None):
+            raise ValueError("calibrate() only applies to services with "
+                             "tpu.decode_quant set")
+        self.predict(frames, captions)
 
     def predict(self, frames: np.ndarray, captions: Sequence[str]) -> np.ndarray:
         """
@@ -289,7 +312,7 @@ class PredictionService(InferenceFrontend):
         def _decode(mv, pred_slots, tail_chunks=tail_chunks, tail_unroll=None,
                     quant_scales=None):
             b = pred_slots.shape[0]
-            # int8 decode (tpu.decode_quant): SAVi-only, guarded at setup
+            # int8 decode (tpu.decode_quant; models/quant.py)
             qkw = {} if quant_scales is None else {"quant_scales": quant_scales}
             dec = model.apply(mv, pred_slots.reshape(b * p, s, d),
                               method="decode", tail_chunks=tail_chunks,
@@ -358,28 +381,22 @@ class PredictionService(InferenceFrontend):
         self._quant_mode = decode_quant_mode(self.exp_params)
         if self._quant_mode:
             # int8 decoder tail (tpu.decode_quant): calibrate activation
-            # scales on the first request's predicted slots — usually
-            # warmup() — then serve the quantized stage from then on
-            # (models/quant.py). Output quality changes; the knob is an
-            # explicit per-experiment opt-in.
+            # scales on the first request's predicted slots — warmup(),
+            # which for quantized services uses noise frames rather than a
+            # black video so the calibration range is not degenerate — then
+            # serve the quantized stage from then on (models/quant.py). The
+            # `.inner()` handle is what AOT export serializes. Output
+            # quality changes; the knob is an explicit per-experiment
+            # opt-in.
             from textocvp_tpu.core.logger import print_
-            from textocvp_tpu.models.quant import calibrate_decode_scales
+            from textocvp_tpu.models.quant import lazy_quantized_stage
 
-            holder = {}
-
-            def decode_stage(pred_slots):
-                if "stage" not in holder:
-                    scales = calibrate_decode_scales(
-                        model, model_vars, pred_slots.reshape(-1, s, d))
-                    self.decode_quant_scales = scales
-                    print_(f"int8 decode calibration: scales={scales.tolist()}")
-                    holder["stage"] = build_decode_stage(jnp.asarray(scales))
-                return holder["stage"](pred_slots)
-
-            # the calibrated inner stage (plain jitted fn once warmup ran) —
-            # what AOT export serializes (serve/export.py)
-            decode_stage.inner = lambda: holder.get("stage")
-            self._decode_stage = decode_stage
+            self._decode_stage = lazy_quantized_stage(
+                build_decode_stage,
+                lambda pred_slots: pred_slots.reshape(-1, s, d),
+                model, model_vars,
+                on_scales=lambda sc: setattr(self, "decode_quant_scales", sc),
+                log=print_)
         else:
             self._decode_stage = build_decode_stage()
 

@@ -202,26 +202,19 @@ class DecompEvaluator:
             # and use the quantized stage for every batch incl. this one —
             # so all reported metrics come from the same program
             # (models/quant.py; results.json carries a decode_quant flag)
-            from textocvp_tpu.models.quant import calibrate_decode_scales
+            from textocvp_tpu.models.quant import lazy_quantized_stage
 
-            holder = {}
+            def slots_of(videos, rng):
+                slots = jax.jit(
+                    lambda v, x, r: model.apply(
+                        v, x, decode=False, rngs={"slots": r})["slot_history"]
+                )(variables, videos, rng)
+                return slots.reshape(-1, *slots.shape[-2:])
 
-            def eval_step(videos, rng):
-                if "stage" not in holder:
-                    slots = jax.jit(
-                        lambda v, x, r: model.apply(
-                            v, x, decode=False,
-                            rngs={"slots": r})["slot_history"]
-                    )(variables, videos, rng)
-                    scales = calibrate_decode_scales(
-                        model, variables,
-                        slots.reshape(-1, *slots.shape[-2:]))
-                    self.decode_quant_scales = scales
-                    print_(f"int8 decode calibration: scales={scales.tolist()}")
-                    holder["stage"] = build_stage(jnp.asarray(scales))
-                return holder["stage"](videos, rng)
-
-            self.eval_step = eval_step
+            self.eval_step = lazy_quantized_stage(
+                build_stage, slots_of, model, variables,
+                on_scales=lambda s: setattr(self, "decode_quant_scales", s),
+                log=print_)
         else:
             self.eval_step = build_stage()
 
@@ -474,19 +467,15 @@ class PredictorEvaluator:
             # and use the quantized stage for every batch incl. this one —
             # all reported metrics come from the same program
             # (models/quant.py; results.json carries a decode_quant flag)
-            from textocvp_tpu.models.quant import calibrate_decode_scales
+            from textocvp_tpu.models.quant import lazy_quantized_stage
 
-            holder = {}
-
-            def decode_metrics_stage(pred_slots, videos):
-                if "stage" not in holder:
-                    scales = calibrate_decode_scales(
-                        decomp_model, decomp_vars,
-                        pred_slots.reshape(-1, num_slots, slot_dim))
-                    self.decode_quant_scales = scales
-                    print_(f"int8 decode calibration: scales={scales.tolist()}")
-                    holder["stage"] = build_decode_stage(jnp.asarray(scales))
-                return holder["stage"](pred_slots, videos)
+            decode_metrics_stage = lazy_quantized_stage(
+                build_decode_stage,
+                lambda pred_slots, videos: pred_slots.reshape(
+                    -1, num_slots, slot_dim),
+                decomp_model, decomp_vars,
+                on_scales=lambda s: setattr(self, "decode_quant_scales", s),
+                log=print_)
         else:
             decode_metrics_stage = build_decode_stage()
 
