@@ -385,3 +385,35 @@ def test_quantized_service_warmup_calibrates_on_noise(served_exp):
     frames = np.random.default_rng(0).random((1, 1, RES, RES, 3), np.float32)
     with pytest.raises(ValueError, match="decode_quant"):
         plain.calibrate(frames, ["the snitch is picked up"])
+
+
+def test_mesh_service_with_quant(served_exp, service):
+    """tpu.decode_quant composes with dp x tp mesh serving: the quantized
+    sharded service calibrates on its first request and stays close to the
+    single-device bf16 service."""
+    import json
+
+    from textocvp_tpu.serve import PredictionService
+
+    params_path = served_exp / "predictors" / "tiny_tf" / "experiment_params.json"
+    original = params_path.read_text()
+    p = json.loads(original)
+    p.setdefault("tpu", {})["decode_quant"] = "int8"
+    params_path.write_text(json.dumps(p))
+    try:
+        svc = PredictionService(
+            served_exp, "tiny_tf", decomp_ckpt="checkpoint_epoch_final",
+            pred_ckpt="checkpoint_epoch_final", batch_size=2, max_tokens=8,
+            mesh_axes={"data": 2, "model": 4})
+    finally:
+        params_path.write_text(original)
+
+    frames = np.random.default_rng(9).random((2, 1, RES, RES, 3), np.float32)
+    caps = ["the snitch is picked up", "the cone is rotating"]
+    service._counter = 901
+    ref = service.predict(frames, caps).astype(np.int32)
+    svc._counter = 901
+    out = svc.predict(frames, caps).astype(np.int32)
+    assert np.all(svc.decode_quant_scales > 0)
+    assert np.abs(out - ref).max() <= 16
+    assert np.abs(out - ref).mean() < 2.0
