@@ -417,3 +417,34 @@ def test_mesh_service_with_quant(served_exp, service):
     assert np.all(svc.decode_quant_scales > 0)
     assert np.abs(out - ref).max() <= 16
     assert np.abs(out - ref).mean() < 2.0
+
+
+def test_serve_cli_exports_quantized_service(served_exp, tmp_path):
+    """`07_serve.py --export DIR` on a quantized experiment must calibrate
+    (warmup) before exporting instead of dying on the not-yet-calibrated
+    error."""
+    import json
+
+    from textocvp_tpu.cli.serve import main as serve_main
+    from textocvp_tpu.serve.export import ExportedPredictionService
+
+    params_path = served_exp / "predictors" / "tiny_tf" / "experiment_params.json"
+    original = params_path.read_text()
+    p = json.loads(original)
+    p.setdefault("tpu", {})["decode_quant"] = "int8"
+    params_path.write_text(json.dumps(p))
+    try:
+        serve_main(["-d", str(served_exp), "--name_pred_exp", "tiny_tf",
+                    "--decomp_ckpt", "checkpoint_epoch_final",
+                    "--pred_ckpt", "checkpoint_epoch_final",
+                    "--batch_size", "2", "--max_tokens", "8",
+                    "--export", str(tmp_path / "art")])
+    finally:
+        params_path.write_text(original)
+
+    manifest = json.loads((tmp_path / "art" / "manifest.json").read_text())
+    assert manifest["decode_quant"] == "int8"
+    restored = ExportedPredictionService(tmp_path / "art")
+    frames = np.random.default_rng(1).random((1, 1, RES, RES, 3), np.float32)
+    out = restored.predict(frames, ["the snitch is picked up"])
+    assert out.shape == (1, NUM_PREDS, RES, RES, 3)

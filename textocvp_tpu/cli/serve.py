@@ -58,6 +58,11 @@ def main(argv=None):
     if args.export:
         from textocvp_tpu.serve.export import export_service
 
+        if getattr(service, "_quant_mode", None):
+            # int8 services must be calibrated before export (the artifact
+            # bakes the scales); the warmup request calibrates on noise —
+            # for real-data calibration use service.calibrate() via the API
+            service.warmup()
         out = export_service(service, args.export)
         print(f"exported serving artifact to {out}")
         return 0
