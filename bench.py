@@ -206,9 +206,12 @@ def main():
         # the default path above is exact (bf16 matmuls, fp32-faithful
         # semantics). An opt-in int8 decode exists (--decode_quant int8,
         # quality delta PSNR -0.005% on a trained model) and last measured
-        # 6203.7 frames/s/chip on this protocol — docs/PERFORMANCE.md
-        # "int8 decode". Recorded here so the artifact carries the pointer.
-        "optin_int8_decode_fps_measured": None if args.decode_quant else 6203.7,
+        # 6203.7 frames/s/chip on THIS protocol (batch 64, num_preds 19) —
+        # docs/PERFORMANCE.md "int8 decode". Recorded so the artifact
+        # carries the pointer; omitted off-protocol or when already quantized.
+        "optin_int8_decode_fps_measured": (
+            6203.7 if (not args.decode_quant and args.batch_size == 64
+                       and args.num_preds == 19) else None),
     }))
 
 
