@@ -150,6 +150,24 @@ def test_patch_decoder_param_paths_unchanged():
     assert sorted(variables["batch_stats"].keys()) == ["cnn_0", "cnn_1"]
 
 
+def test_quant_robust_to_calibration_batch_shift(savi_and_slots):
+    """Scales calibrated on one batch must hold up on a DIFFERENT batch
+    drawn from the same distribution (serving calibrates once on the first
+    request): values beyond the calibrated amax clip, so the error on a
+    fresh batch must stay the same order as on the calibration batch."""
+    model, variables, slots = savi_and_slots
+    scales = jnp.asarray(calibrate_decode_scales(model, variables, slots))
+    fresh = jax.random.normal(jax.random.PRNGKey(99), slots.shape) * 0.5
+
+    ref = model.apply(variables, fresh, method="decode")
+    q = model.apply(variables, fresh, method="decode", quant_scales=scales)
+    a = np.clip(np.asarray(ref["recons_imgs"], np.float32), 0, 1)
+    b = np.clip(np.asarray(q["recons_imgs"], np.float32), 0, 1)
+    err = np.abs(a - b)
+    assert err.max() < 0.1, f"shifted-batch int8 max err {err.max()}"
+    assert err.mean() < 0.01, f"shifted-batch int8 mean err {err.mean()}"
+
+
 def test_quant_chunk_policy_prefers_flat():
     """Under int8 the measured-fastest decode is FLAT (the bf16 chunking
     pathology inverts; docs/PERFORMANCE.md 'int8 decode'), so the auto
