@@ -25,8 +25,17 @@ synchronization point.
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# Default the persistent XLA compile cache on: the flagship programs take
+# minutes to compile cold on the remote-attached runtime (the round-2 driver
+# run spent 1422 s in compile+first-step with the cache unset) but reload in
+# seconds once cached. setdefault only — an explicit env value still wins.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/textocvp_jax_cache"))
 
 REF_GPU_FPS = 250.0  # estimated reference GPU predicted-frames/sec/chip
 

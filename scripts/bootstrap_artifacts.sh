@@ -20,6 +20,9 @@
 # downloading. tests/test_bootstrap_artifacts.py drives this end-to-end with
 # synthetic reference .pth files down to a results.json.
 #
+# Acceptance: compare the produced results.json against a reference-produced
+# one with scripts/compare_results.py (the BASELINE.md 1% criterion).
+#
 # Flags:
 #   --from-local DIR        copy experiment trees from DIR instead of wget
 #   --experiments-root DIR  destination root (default: experiments)
