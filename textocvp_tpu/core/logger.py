@@ -30,7 +30,15 @@ class Logger:
         global _LOGGER
         _LOGGER = self
 
+    # Multi-process runs: every process logs to the SAME logs.txt on a shared
+    # filesystem; set by maybe_initialize_distributed so only process 0 writes
+    # (console output is unaffected). Class-level so it also covers a Logger
+    # constructed before jax.distributed comes up.
+    file_writes_enabled = True
+
     def log(self, message: str, typ: str = "info") -> None:
+        if not Logger.file_writes_enabled:
+            return
         ts = datetime.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
         line = f"{ts}    {typ.upper()}: {message}"
         with open(self.file, "a") as f:

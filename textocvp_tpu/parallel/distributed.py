@@ -55,7 +55,25 @@ def maybe_initialize_distributed() -> bool:
         kwargs["process_id"] = int(os.environ.get("TEXTOCVP_PROCESS_ID", "0"))
     jax.distributed.initialize(**kwargs)
     _DISTRIBUTED_INITIALIZED = True
+    if jax.process_index() != 0:
+        # shared experiment dirs: exactly one process writes logs.txt
+        from textocvp_tpu.core.logger import Logger
+
+        Logger.file_writes_enabled = False
     return True
+
+
+def is_process_zero() -> bool:
+    """True on the (single) process that owns filesystem side-outputs.
+
+    Multi-process runs replicate the train/eval loops on every host; exactly
+    one of them should write checkpoints, TensorBoard events, results.json,
+    figures, and logs.txt to the (typically shared) experiment directory —
+    everything else is duplicate work at best and a same-path write race at
+    worst. Single-process runs always return True."""
+    import jax
+
+    return jax.process_index() == 0
 
 
 def get_hybrid_mesh(data: int = -1, model: int = 1, dcn: Optional[int] = None,

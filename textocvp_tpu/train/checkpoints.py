@@ -22,10 +22,30 @@ import numpy as np
 from flax import serialization
 
 
-def _to_host(tree):
-    return jax.tree_util.tree_map(
-        lambda x: np.asarray(x) if isinstance(x, (jax.Array, np.ndarray)) else x, tree
-    )
+def _leaf_to_host(x, copy: bool = False):
+    """One leaf to host numpy, multi-process safe.
+
+    A leaf sharded across processes (e.g. TP over a model axis that spans
+    hosts) is not fully addressable, so ``np.asarray`` would raise; gather it
+    with ``process_allgather`` instead — a COLLECTIVE, so every process must
+    reach this save in lockstep (the epoch-cadence saves do; see
+    ``save_checkpoint``). ``copy=True`` forces an owning snapshot (async
+    writer: the source buffer may be donated away before serialization)."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    if isinstance(x, (jax.Array, np.ndarray)):
+        return np.array(x) if copy else np.asarray(x)
+    return x
+
+
+def _to_host(tree, copy: bool = False):
+    return jax.tree_util.tree_map(lambda x: _leaf_to_host(x, copy=copy), tree)
+
+
+def _is_process_zero() -> bool:
+    return jax.process_index() == 0
 
 
 def checkpoint_path(models_dir, name: str) -> Path:
@@ -40,10 +60,21 @@ def checkpoint_path(models_dir, name: str) -> Path:
 
 
 def save_checkpoint(models_dir, name: str, state: dict) -> Path:
+    """Write one checkpoint file (atomic replace). Multi-process runs: every
+    process participates in gathering cross-process-sharded leaves (a
+    collective — callers save in lockstep, which the epoch-cadence sites do),
+    but only process 0 touches the (shared) filesystem; the others return the
+    would-be path without writing."""
     path = Path(models_dir) / (name if name.endswith(".msgpack") else f"{name}.msgpack")
+    host_state = _to_host(state)
+    if not _is_process_zero():
+        return path
     path.parent.mkdir(parents=True, exist_ok=True)
-    blob = serialization.msgpack_serialize(serialization.to_state_dict(_to_host(state)))
-    tmp = path.with_suffix(".tmp")
+    blob = serialization.msgpack_serialize(serialization.to_state_dict(host_state))
+    # unique tmp name: concurrent savers (async writer + emergency path, or
+    # unrelated processes on a shared FS) must not truncate each other's
+    # in-flight tmp file; os.replace stays atomic on the same filesystem
+    tmp = path.with_suffix(f".tmp.{os.getpid()}")
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
@@ -105,12 +136,13 @@ class AsyncCheckpointWriter:
         if self._closed:
             raise RuntimeError("AsyncCheckpointWriter is closed")
         self._check()
-        # true snapshot, not _to_host: np.asarray aliases numpy leaves, and an
+        # owning snapshot (copy=True): np.asarray aliases numpy leaves, and an
         # aliased buffer could be mutated (or a jax buffer donated away)
-        # before the worker serializes it
-        snap = jax.tree_util.tree_map(
-            lambda x: np.array(x) if isinstance(x, (jax.Array, np.ndarray)) else x,
-            state)
+        # before the worker serializes it. Taken HERE, on the caller thread:
+        # the cross-process gather for non-addressable leaves is a collective
+        # and must run in lockstep with the other processes, not on the
+        # writer thread.
+        snap = _to_host(state, copy=True)
         self._q.put((models_dir, name, snap))
 
     def wait(self):

@@ -30,6 +30,7 @@ from textocvp_tpu.data import DataLoader, load_data
 from textocvp_tpu.models import setup_model, setup_predictor
 from textocvp_tpu.parallel.distributed import (
     get_runtime_mesh,
+    is_process_zero,
     loader_process_kwargs,
     maybe_initialize_distributed,
 )
@@ -256,8 +257,9 @@ class DecompEvaluator:
         if getattr(self, "_quant_mode", None):
             # honesty flag: these metrics come from a quantized decoder
             results["decode_quant"] = self._quant_mode
-        self.exp.save_results(self.results_name, results)
-        _save_framewise_plots(self.exp, self.results_name, results, start_x=0)
+        if is_process_zero():  # one results.json / plot set per experiment
+            self.exp.save_results(self.results_name, results)
+            _save_framewise_plots(self.exp, self.results_name, results, start_x=0)
         print_(f"Results: { {k: v['mean'] for k, v in results.items() if isinstance(v, dict)} }")
         return results
 
@@ -527,7 +529,9 @@ class PredictorEvaluator:
         if getattr(self, "_quant_mode", None):
             # honesty flag: these metrics come from a quantized decoder
             results["decode_quant"] = self._quant_mode
-        self.exp.save_results(self.results_name, results)
-        _save_framewise_plots(self.exp, self.results_name, results, start_x=self.num_context)
+        if is_process_zero():  # one results.json / plot set per experiment
+            self.exp.save_results(self.results_name, results)
+            _save_framewise_plots(self.exp, self.results_name, results,
+                                  start_x=self.num_context)
         print_(f"Results: { {k: v['mean'] for k, v in results.items() if isinstance(v, dict)} }")
         return results

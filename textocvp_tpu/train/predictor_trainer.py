@@ -322,6 +322,11 @@ class PredictorTrainer:
         return jax.random.fold_in(jax.random.PRNGKey(14), self.global_step)
 
     def _setup_writer(self):
+        from textocvp_tpu.parallel.distributed import is_process_zero
+
+        if not is_process_zero():
+            self.writer = None  # one TB event stream per experiment
+            return
         try:
             from torch.utils.tensorboard import SummaryWriter
 
@@ -355,7 +360,15 @@ class PredictorTrainer:
 
     def _log_images(self, videos, others):
         """GT-vs-prediction strip to TensorBoard (reference
-        basePredictorTrainer.py:308-311)."""
+        basePredictorTrainer.py:308-311).
+
+        Skipped on EVERY process in multi-process runs: the caller's
+        writer gate is process-local, and running a device program (or the
+        ``self._rng()`` global-step bump) on one process only diverges the
+        cross-process collective order / rng stream — see
+        tests/test_multiprocess.py."""
+        if jax.process_count() > 1:
+            return
         try:
             c = self.prediction_params["num_context"]
             p = self.prediction_params["num_preds"]

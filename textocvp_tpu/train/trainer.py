@@ -336,6 +336,11 @@ class DecompTrainer:
             self.writer.add_scalar(f"{prefix}/{k}", float(v), self.global_step)
 
     def _setup_writer(self):
+        from textocvp_tpu.parallel.distributed import is_process_zero
+
+        if not is_process_zero():
+            self.writer = None  # one TB event stream per experiment
+            return
         try:
             from torch.utils.tensorboard import SummaryWriter
 
@@ -368,7 +373,16 @@ class DecompTrainer:
 
     def _log_images(self, videos):
         """GT vs reconstruction image panel to TensorBoard every
-        image_log_frequency iterations (reference 02_train_savi.py:78-137)."""
+        image_log_frequency iterations (reference 02_train_savi.py:78-137).
+
+        Multi-process runs skip this ON EVERY process: the caller's
+        ``self.writer is not None`` gate is process-local (only process 0
+        owns a writer), and a device program run by one process but not the
+        others is a cross-process collective-order divergence — the Gloo
+        mismatch tests/test_multiprocess.py exists to catch. Scalars still
+        log; image panels are a single-host nicety."""
+        if jax.process_count() > 1:
+            return
         try:
             out = self.valid_forward(self.params, self.batch_stats, videos[:1], self._rng())
             recons = np.clip(np.asarray(out["recons_imgs"][0]), 0, 1)  # (T, H, W, C)
@@ -404,6 +418,10 @@ class DecompTrainer:
     def log_architecture(self):
         """Dump the module structure to model_architecture.txt
         (reference lib/utils.py:90-129)."""
+        from textocvp_tpu.parallel.distributed import is_process_zero
+
+        if not is_process_zero():
+            return
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(self.params))
         with open(self.exp.exp_path / "model_architecture.txt", "w") as f:
             f.write(str(self.model) + "\n")
