@@ -68,15 +68,58 @@ def main():
         for x in jax.tree_util.tree_leaves(trainer.params)))
     # every process must also be able to RESUME from the ckpt process 0 wrote
     multihost_utils.sync_global_devices("textocvp_mp_trained")
-    from textocvp_tpu.train.checkpoints import checkpoint_path, load_checkpoint
+    from textocvp_tpu.train.checkpoints import (
+        checkpoint_path,
+        load_checkpoint,
+        save_checkpoint,
+    )
 
     state = load_checkpoint(
         checkpoint_path(trainer.exp.models_dir, "checkpoint_epoch_final"))
+
+    # --- evaluator leg: the same 2-process cluster runs DecompEvaluator ---
+    # per-process loader slicing, on-device metric accumulation, and the
+    # process-0 gate on results.json must all hold for real (not simulated).
+    from textocvp_tpu.train.evaluator import DecompEvaluator
+
+    evaluator = DecompEvaluator(
+        exp_path, "checkpoint_epoch_final", metrics=("psnr",))
+    evaluator.load_data()
+    videos, _ = next(iter(evaluator.test_loader))
+    evaluator.load_model(videos)
+    results = evaluator.evaluate()
+    psnr_mean = float(results["psnr"]["mean"])
+    multihost_utils.sync_global_devices("textocvp_mp_evaluated")
+
+    # --- cross-process-sharded checkpoint gather leg ---
+    # A leaf sharded over an axis that SPANS processes is not fully
+    # addressable on either process; save_checkpoint must process_allgather
+    # it (a collective both processes join) before process 0 writes. This is
+    # the multi-host-TP save path, exercised with real separate address
+    # spaces instead of a single-process mesh.
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    full = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+    sharded = multihost_utils.host_local_array_to_global_array(
+        full[4 * jax.process_index():4 * (jax.process_index() + 1)],
+        mesh, P("data"))
+    assert not sharded.is_fully_addressable
+    save_checkpoint(trainer.exp.models_dir, "sharded_gather",
+                    {"w": sharded, "epoch": 7})
+    multihost_utils.sync_global_devices("textocvp_mp_gathered")
+    gathered = load_checkpoint(
+        checkpoint_path(trainer.exp.models_dir, "sharded_gather"))
+    gather_ok = (np.array_equal(np.asarray(gathered["w"]), full)
+                 and int(gathered["epoch"]) == 7)
+
     print("MPRESULT " + json.dumps({
         "pid": jax.process_index(),
         "writer_none": trainer.writer is None,
         "checksum": checksum,
         "ckpt_epoch": int(state["epoch"]),
+        "psnr_mean": psnr_mean,
+        "gather_ok": bool(gather_ok),
     }), flush=True)
 
 

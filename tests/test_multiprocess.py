@@ -79,10 +79,24 @@ def test_two_process_training_run(tmp_path):
     assert results[0]["ckpt_epoch"] == 2
     assert results[1]["ckpt_epoch"] == 2
 
+    # evaluator leg: identical aggregate metrics on every process (the (B, F)
+    # metric values are replicated, so a divergence means a process evaluated
+    # only its local input shard without the global batch assembly)
+    assert results[0]["psnr_mean"] == results[1]["psnr_mean"]
+    assert results[0]["psnr_mean"] > 0.0
+
+    # cross-process-sharded checkpoint: the gather collective completed on
+    # both processes and the file process 0 wrote holds the FULL array
+    assert results[0]["gather_ok"] is True
+    assert results[1]["gather_ok"] is True
+
     exp = tmp_path / "mp_exp"
     names = {m.stem for m in (exp / "models").glob("*.msgpack")}
     assert {"checkpoint_last_saved", "checkpoint_epoch_final",
             "checkpoint_epoch_1"} <= names
     assert (exp / "model_architecture.txt").exists()
+    # results.json written exactly once (process 0), visible to the shared FS
+    res = exp / "results" / "eval_decomp_checkpoint_epoch_final" / "results.json"
+    assert res.exists(), sorted((exp / "results").rglob("*"))
     # no stale tmp files left by the atomic-replace writer
     assert not list((exp / "models").glob("*.tmp*"))
