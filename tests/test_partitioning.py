@@ -136,3 +136,79 @@ def test_pad_batch_keeps_metrics_exact():
     vals = np.asarray(psnr(sharded, jnp.asarray(targets)))[:b]
     ref = np.asarray(psnr(jnp.asarray(videos), jnp.asarray(targets[:5])))
     np.testing.assert_allclose(vals, ref, rtol=1e-6)
+
+
+def _tiny_dinosaur_params():
+    """Tiny ExtendedDINOSAUR exp params (ViT-small 1-block at 28px -> 4
+    patches) — the smallest config that exercises every TP-sharded module."""
+    from textocvp_tpu.core.config import build_exp_params
+
+    params = build_exp_params("ExtendedDINOSAUR", "Synthetic")
+    mp = params["model"]["model_params"]
+    mp.update(img_size=28, num_slots=3, slot_dim=16, mlp_hidden=16,
+              mlp_encoder_dim=384)
+    mp["encoder"] = {
+        "encoder_name": "vit_small_patch14_dinov2",
+        "encoder_params": {"encoder_num_blocks": 1},
+    }
+    mp["decoder"]["decoder_params"].update(
+        num_patches=4, in_dim=16, hidden_dim=32, out_dim=385, num_layers=2,
+        patch_size=14, num_layers_cnn=2, reconstruct_images=True,
+    )
+    mp["transition_module"] = {"model_name": "TransformerBlock",
+                               "num_heads": 2, "mlp_size": 16}
+    params["dataset"].update(img_size=[28, 28], num_frames=2)
+    return params
+
+
+def test_dinosaur_decomp_tp_matches_replicated():
+    """ViT encoder + patch-decoder MLP sharded over the model axis (the
+    DINOSAUR-path TP extension) reproduce the replicated forward."""
+    from textocvp_tpu.models import setup_model
+    from textocvp_tpu.parallel.partitioning import (
+        decomp_tp_enabled,
+        predictor_param_specs,
+        shard_decomp_variables,
+    )
+
+    exp_params = _tiny_dinosaur_params()
+    assert decomp_tp_enabled(exp_params)
+    # SAVi-style configs must NOT opt in
+    assert not decomp_tp_enabled(
+        {"model": {"model_params": {"encoder": {"encoder_name": "ConvEncoder"}}}})
+
+    model = setup_model(exp_params)
+    videos = jax.random.uniform(jax.random.PRNGKey(0), (4, 2, 28, 28, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "slots": jax.random.PRNGKey(2)},
+        videos, decode=True, train=False)
+
+    # the new spec rules actually hit the ViT block and patch-decoder MLP
+    specs = predictor_param_specs(variables["params"])
+    blk = specs["image_encoder"]["block_0"]
+    assert tuple(blk["qkv"]["kernel"]) == (None, "model")
+    assert tuple(blk["proj"]["kernel"]) == ("model", None)
+    assert tuple(blk["fc1"]["kernel"]) == (None, "model")
+    assert tuple(blk["fc2"]["kernel"]) == ("model", None)
+    dec = specs["patch_decoder"]
+    assert tuple(dec["mlp_0"]["kernel"]) == (None, "model")
+    assert tuple(dec["mlp_1"]["kernel"]) == ("model", None)
+    # conv kernels and norms stay replicated
+    assert tuple(specs["image_encoder"]["patch_embed"]["kernel"]) == ()
+
+    mesh = get_mesh(data=2, model=4)
+    fixed_rng = {"slots": jax.random.PRNGKey(3)}
+    fn = jax.jit(lambda v, x: model.apply(v, x, decode=True, train=False,
+                                          rngs=fixed_rng)["recons_imgs"])
+    ref = fn(variables, videos)
+
+    sharded = shard_decomp_variables(
+        jax.device_put(variables, replicated_sharding(mesh)), mesh)
+    # the big kernels must actually be sharded, not silently replicated
+    qkv = sharded["params"]["image_encoder"]["block_0"]["qkv"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated
+    videos_s = jax.device_put(videos, batch_sharding(mesh))
+    with mesh:
+        out = fn(sharded, videos_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)

@@ -448,3 +448,82 @@ def test_serve_cli_exports_quantized_service(served_exp, tmp_path):
     frames = np.random.default_rng(1).random((1, 1, RES, RES, 3), np.float32)
     out = restored.predict(frames, ["the snitch is picked up"])
     assert out.shape == (1, NUM_PREDS, RES, RES, 3)
+
+
+@pytest.fixture(scope="module")
+def dinosaur_served_exp(tmp_path_factory):
+    """Tiny ExtendedDINOSAUR (1-block ViT-small at 28px) + TextOCVP_CustomTF
+    with random-init checkpoints — exercises the ViT-path serving, including
+    batch_stats (BatchNorm CNN head) and decomp TP sharding."""
+    root = tmp_path_factory.mktemp("serve_dino")
+    parent = Experiment.create(root / "e", "ExtendedDINOSAUR", "Synthetic")
+    params = parent.params
+    mp = params["model"]["model_params"]
+    mp.update(img_size=28, num_slots=3, slot_dim=16, mlp_hidden=16,
+              mlp_encoder_dim=384)
+    mp["encoder"] = {"encoder_name": "vit_small_patch14_dinov2",
+                     "encoder_params": {"encoder_num_blocks": 1}}
+    mp["decoder"]["decoder_params"].update(
+        num_patches=4, in_dim=16, hidden_dim=32, out_dim=385, num_layers=2,
+        patch_size=14, num_layers_cnn=2, reconstruct_images=True)
+    mp["transition_module"] = {"model_name": "TransformerBlock",
+                               "num_heads": 2, "mlp_size": 16}
+    params["dataset"].update(tokenizer="CustomTokenizer", img_size=[28, 28])
+    parent.save_params(params)
+
+    model = setup_model(params)
+    videos = jnp.zeros((1, 1, 28, 28, 3))
+    model_vars = model.init(
+        {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)},
+        videos, decode=True, train=False)
+    save_checkpoint(parent.models_dir, "checkpoint_epoch_final",
+                    {"params": model_vars["params"],
+                     "batch_stats": model_vars["batch_stats"]})
+
+    pred_exp = Experiment.create_predictor(parent.exp_path, "tiny_tf",
+                                           "TextOCVP_CustomTF")
+    pparams = pred_exp.params
+    pp = pparams["predictor"]["predictor_params"]
+    pp["predictor_params"].update(token_dim=32, n_heads=2, hidden_dim=64,
+                                  num_layers=2)
+    pp["fusion_params"].update(num_heads=2, head_dim=16, mlp_size=64)
+    pp["text_encoder_params"].update(input_dim=32, num_layers=1, num_heads=2,
+                                     vocab_size=50)
+    pparams["prediction_params"].update(num_context=1, num_preds=NUM_PREDS,
+                                        input_buffer_size=3)
+    pred_exp.save_params(pparams)
+
+    predictor = setup_predictor(pparams)
+    slots = model.apply(model_vars, videos, decode=False,
+                        rngs={"slots": jax.random.PRNGKey(2)})["slot_history"]
+    pred_vars = predictor.init(
+        {"params": jax.random.PRNGKey(3)}, slots,
+        caption_tokens=jnp.ones((1, 6), jnp.int32),
+        caption_lengths=jnp.full((1,), 6, jnp.int32))
+    save_checkpoint(pred_exp.models_dir, "checkpoint_epoch_final",
+                    {"params": pred_vars["params"]})
+    return parent.exp_path
+
+
+def test_dinosaur_mesh_service_shards_decomp(dinosaur_served_exp):
+    """ViT-path serving under dp x tp: the decomp model's ViT/patch-decoder
+    kernels are actually sharded (not replicated) and the mesh service
+    reproduces the single-device service's predictions."""
+    from textocvp_tpu.serve import PredictionService
+
+    kwargs = dict(decomp_ckpt="checkpoint_epoch_final",
+                  pred_ckpt="checkpoint_epoch_final", batch_size=2,
+                  max_tokens=8)
+    ref_svc = PredictionService(dinosaur_served_exp, "tiny_tf", **kwargs)
+    svc = PredictionService(dinosaur_served_exp, "tiny_tf",
+                            mesh_axes={"data": 2, "model": 4}, **kwargs)
+    qkv = svc.model_vars["params"]["image_encoder"]["block_0"]["qkv"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated
+
+    frames = np.random.default_rng(5).random((2, 1, 28, 28, 3), np.float32)
+    caps = ["the red ball is bouncing", "the blue ball is moving"]
+    ref_svc._counter = 300
+    ref = ref_svc.predict(frames, caps)
+    svc._counter = 300
+    out = svc.predict(frames, caps)
+    np.testing.assert_allclose(out, ref, atol=2e-5)

@@ -131,3 +131,37 @@ def test_decomp_eval_requires_image_reconstruction(tmp_path):
     with pytest.raises(ValueError, match="reconstruct_images"):
         DecompEvaluator(exp.exp_path, "ck_decomp")
     assert DecompFigGenerator(exp.exp_path, "ck_decomp") is not None
+
+
+def test_dinosaur_eval_tp_mesh_matches_plain(dinosaur_exp):
+    """tpu.mesh_axes with model>1 TP-shards the ViT + patch decoder inside
+    DecompEvaluator (parallel/partitioning.py decomp specs); metrics must
+    match the single-device eval."""
+    import json
+
+    from textocvp_tpu.train.evaluator import DecompEvaluator
+
+    def run(results_name):
+        ev = DecompEvaluator(dinosaur_exp.exp_path, "checkpoint_epoch_final",
+                             batch_size=8, metrics=("psnr",),
+                             results_name=results_name)
+        ev.load_data()
+        vids, _ = next(iter(ev.test_loader))
+        ev.load_model(vids)
+        return ev.evaluate()
+
+    plain = run("eval_tp_ref")
+
+    params_file = dinosaur_exp.exp_path / "experiment_params.json"
+    saved = params_file.read_text()
+    try:
+        params = dinosaur_exp.params
+        params.setdefault("tpu", {})["mesh_axes"] = {"data": 2, "model": 4}
+        dinosaur_exp.save_params(params)
+        tp = run("eval_tp_mesh")
+    finally:
+        params_file.write_text(saved)
+        dinosaur_exp._params = None  # drop the mutated cache
+
+    np.testing.assert_allclose(tp["psnr"]["mean"], plain["psnr"]["mean"],
+                               rtol=1e-4)

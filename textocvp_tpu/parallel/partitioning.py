@@ -32,6 +32,14 @@ _ROW_KERNELS = ("out", "o")              # shard input dim ("o" = T5 out proj)
 _COL_DENSE = ("Dense_0", "linear1", "wi")  # MLP up-projection (wi = T5 FF)
 _ROW_DENSE = ("Dense_1", "linear2", "wo")  # MLP down-projection
 
+# ViT encoder blocks (nn/vit.py ViTBlock): the DINOSAUR-path encode compute.
+# qkv keeps timm's fused [q;k;v] output layout, so column-sharding it costs a
+# reshard at the head reshape; fc1/fc2 form the classic one-all-reduce
+# Megatron pair over the 3072-wide MLP (2/3 of the block FLOPs), proj
+# row-shards against its replicated attention output.
+_VIT_COL = ("qkv", "fc1")
+_VIT_ROW = ("proj", "fc2")
+
 
 def _spec_for_path(path: tuple[str, ...], ndim: int, model_axis: str) -> P:
     """PartitionSpec for one parameter given its tree path."""
@@ -53,6 +61,21 @@ def _spec_for_path(path: tuple[str, ...], ndim: int, model_axis: str) -> P:
         return P(None, model_axis)
     if name in ("linear2", "wo"):
         return P(model_axis, None)
+    if parent.startswith("block_"):
+        if name in _VIT_COL:
+            return P(None, model_axis)
+        if name in _VIT_ROW:
+            return P(model_axis, None)
+    # MLPPatchDecoder (nn/decoders.py): mlp_0..mlp_{n-1} with a nonlinearity
+    # between every pair, so alternate column/row — even layers shard the
+    # output (hidden stays sharded through the elementwise ReLU), odd layers
+    # contract the sharded dim and all-reduce
+    if parent == "patch_decoder" and name.startswith("mlp_"):
+        try:
+            idx = int(name.split("_", 1)[1])
+        except ValueError:
+            return P()
+        return P(None, model_axis) if idx % 2 == 0 else P(model_axis, None)
     return P()
 
 
@@ -78,6 +101,32 @@ def _divisible(spec: P, shape: tuple[int, ...], axis_size: int) -> bool:
         if name is not None and dim % axis_size != 0:
             return False
     return True
+
+
+def decomp_tp_enabled(exp_params: dict) -> bool:
+    """Whether the decomposition model is worth tensor-parallelizing.
+
+    Only the ViT-encoder (ExtendedDINOSAUR) path carries TP-scale matmuls
+    (ViT-B blocks at 577 patches, patch-decoder MLP at hidden 1024). SAVi's
+    128-wide kernels would pay an all-reduce per recurrence step for no
+    meaningful FLOP spread, so SAVi stays replicated under TP meshes."""
+    enc = (exp_params.get("model", {}).get("model_params", {})
+           .get("encoder", {})) or {}
+    return "vit" in str(enc.get("encoder_name", "")).lower()
+
+
+def shard_decomp_variables(variables: dict, mesh: Mesh,
+                           model_axis: str = "model") -> dict:
+    """TP placement for a decomposition model's variables: the params subtree
+    gets the Megatron specs (ViT blocks + patch-decoder MLP), batch_stats and
+    any other collections replicate. Call-gated by :func:`decomp_tp_enabled`."""
+    out = {}
+    for k, v in variables.items():
+        if k == "params":
+            out[k] = shard_predictor_params(v, mesh, model_axis)
+        else:
+            out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+    return out
 
 
 def shard_predictor_params(params: Any, mesh: Mesh, model_axis: str = "model") -> Any:

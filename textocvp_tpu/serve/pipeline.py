@@ -272,8 +272,20 @@ class PredictionService(InferenceFrontend):
                     f"serving batch_size={self.batch_size} must be divisible "
                     f"by the mesh data axis ({d}); pick a divisible batch or "
                     f"drop mesh_axes")
-            self.model_vars = jax.device_put(
-                self.model_vars, replicated_sharding(self.mesh))
+            from textocvp_tpu.parallel.partitioning import (
+                decomp_tp_enabled,
+                shard_decomp_variables,
+            )
+
+            if (self.mesh.shape["model"] > 1
+                    and decomp_tp_enabled(self.exp_params)):
+                # ViT-scale decomp (DINOSAUR): TP-shard encoder + patch
+                # decoder over the model axis; SAVi stays replicated
+                self.model_vars = shard_decomp_variables(
+                    self.model_vars, self.mesh)
+            else:
+                self.model_vars = jax.device_put(
+                    self.model_vars, replicated_sharding(self.mesh))
             if self.mesh.shape["model"] > 1:
                 self.pred_vars = {"params": shard_predictor_params(
                     self.pred_vars["params"], self.mesh)}

@@ -120,7 +120,17 @@ class DecompEvaluator:
                 jnp.asarray, restored["batch_stats"])
         elif "batch_stats" in variables:
             self.variables["batch_stats"] = variables["batch_stats"]
-        self.variables = jax.device_put(self.variables, replicated_sharding(self.mesh))
+        from textocvp_tpu.parallel.partitioning import (
+            decomp_tp_enabled,
+            shard_decomp_variables,
+        )
+
+        if self.mesh.shape["model"] > 1 and decomp_tp_enabled(self.exp_params):
+            # ViT-scale model: Megatron sharding over the model axis
+            self.variables = shard_decomp_variables(self.variables, self.mesh)
+        else:
+            self.variables = jax.device_put(self.variables,
+                                            replicated_sharding(self.mesh))
         model = self.model
         tracker = self.metric_tracker
 
@@ -340,8 +350,19 @@ class PredictorEvaluator:
                 jnp.asarray, restored["batch_stats"])
         elif "batch_stats" in init_vars:
             self.decomp_vars["batch_stats"] = init_vars["batch_stats"]
-        # small decomp model: always replicated across the mesh
-        self.decomp_vars = jax.device_put(self.decomp_vars, replicated_sharding(self.mesh))
+        # ViT-scale decomp models shard over the model axis (Megatron specs
+        # for the ViT blocks + patch-decoder MLP); SAVi stays replicated —
+        # its 128-wide kernels don't pay for the per-step all-reduce
+        from textocvp_tpu.parallel.partitioning import (
+            decomp_tp_enabled,
+            shard_decomp_variables,
+        )
+
+        if self.mesh.shape["model"] > 1 and decomp_tp_enabled(self.exp_params):
+            self.decomp_vars = shard_decomp_variables(self.decomp_vars, self.mesh)
+        else:
+            self.decomp_vars = jax.device_put(self.decomp_vars,
+                                              replicated_sharding(self.mesh))
 
         slot_sample = self.decomp_model.apply(
             {"params": self.decomp_vars["params"]}, videos[:, :c], decode=False,

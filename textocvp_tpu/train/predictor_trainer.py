@@ -117,14 +117,22 @@ class PredictorTrainer:
         }
         path = checkpoint_path(self.parent.models_dir, self.decomp_ckpt)
         restored = load_checkpoint(path)
-        self.decomp_params = jax.device_put(
-            jax.tree_util.tree_map(
-                jnp.asarray,
-                {"params": restored["params"],
-                 "batch_stats": restored.get("batch_stats", {}) or {}},
-            ),
-            replicated_sharding(self.mesh),
+        decomp_host = jax.tree_util.tree_map(
+            jnp.asarray,
+            {"params": restored["params"],
+             "batch_stats": restored.get("batch_stats", {}) or {}},
         )
+        from textocvp_tpu.parallel.partitioning import (
+            decomp_tp_enabled,
+            shard_decomp_variables,
+        )
+
+        if self.mesh.shape["model"] > 1 and decomp_tp_enabled(self.exp_params):
+            # frozen ViT-scale decomp: TP-shard its blocks like the predictor
+            self.decomp_params = shard_decomp_variables(decomp_host, self.mesh)
+        else:
+            self.decomp_params = jax.device_put(
+                decomp_host, replicated_sharding(self.mesh))
         del decomp_target
 
         # predictor init (jitted — see the init note above)
