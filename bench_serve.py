@@ -62,6 +62,58 @@ def build_experiment(root, num_preds: int):
     return parent.exp_path
 
 
+def run_concurrent_clients(args, base: str, httpd):
+    """--clients N: N threads each fire --requests single-row requests
+    back-to-back. Without dynamic batching every 1-row request pays a full
+    padded device batch; with --dynamic_batch_ms concurrent rows share one."""
+    import numpy as np
+
+    def one_request(i: int) -> bytes:
+        frames = (np.full((1, 1, 64, 64, 3), (i % 7) / 7.0) * 255
+                  ).astype(np.uint8)
+        buf = io.BytesIO()
+        np.savez(buf, frames=frames,
+                 captions=np.array(["the snitch is picked up"]))
+        return urllib.request.urlopen(urllib.request.Request(
+            base + "/predict", data=buf.getvalue(),
+            headers={"Content-Type": "application/npz"}), timeout=600).read()
+
+    latencies = []
+
+    def client(i: int):
+        for r in range(args.requests):
+            t0 = time.perf_counter()
+            body = one_request(i * 1000 + r)
+            latencies.append(time.perf_counter() - t0)
+            out = np.load(io.BytesIO(body))["pred_frames"]
+            assert out.shape == (1, args.num_preds, 64, 64, 3)
+
+    one_request(0)  # steady-state warm request
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(args.clients)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    httpd.shutdown()
+
+    rows = args.clients * args.requests
+    lat = sorted(latencies)
+    print(json.dumps({
+        "metric": "serve_pred_frames_per_sec (HTTP, "
+                  f"{args.clients} concurrent 1-row clients, "
+                  f"dynamic_batch_ms={args.dynamic_batch_ms})",
+        "value": round(rows * args.num_preds / dt, 2),
+        "unit": "frames/s",
+        "request_latency_ms_p50": round(1000 * lat[len(lat) // 2], 1),
+        "request_latency_ms_p95": round(1000 * lat[int(len(lat) * 0.95)], 1),
+        "batch": args.batch,
+        "num_preds": args.num_preds,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
@@ -70,6 +122,13 @@ def main():
     ap.add_argument("--decode_quant", default=None, choices=["int8"],
                     help="opt-in int8 decode on the served model "
                          "(docs/PERFORMANCE.md 'int8 decode')")
+    ap.add_argument("--clients", type=int, default=0,
+                    help="concurrent 1-row clients (0 = one full-batch "
+                         "client, the default protocol). Models the "
+                         "many-small-requests serving regime")
+    ap.add_argument("--dynamic_batch_ms", type=float, default=None,
+                    help="enable serve-side dynamic request batching with "
+                         "this coalescing window")
     args = ap.parse_args()
 
     import numpy as np
@@ -93,10 +152,15 @@ def main():
             exp_path, "t5", decomp_ckpt="checkpoint_epoch_final",
             pred_ckpt="checkpoint_epoch_final", batch_size=args.batch)
         t0 = time.perf_counter()
-        httpd = serve(service, host="127.0.0.1", port=0)  # warmup=compile
+        httpd = serve(service, host="127.0.0.1", port=0,  # warmup=compile
+                      dynamic_batch_ms=args.dynamic_batch_ms)
         print(f"warmup+compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
         base = f"http://127.0.0.1:{httpd.server_address[1]}"
+
+        if args.clients:
+            run_concurrent_clients(args, base, httpd)
+            return
 
         rng = np.random.default_rng(0)
         frames = (rng.random((args.batch, 1, 64, 64, 3)) * 255).astype(np.uint8)

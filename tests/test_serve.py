@@ -527,3 +527,126 @@ def test_dinosaur_mesh_service_shards_decomp(dinosaur_served_exp):
     svc._counter = 300
     out = svc.predict(frames, caps)
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_dynamic_batcher_coalesces_and_matches(service):
+    """Two concurrent 1-row requests share ONE device batch and return
+    exactly what a direct 2-row predict at the same RNG counter returns."""
+    import time
+
+    from textocvp_tpu.serve.batching import DynamicBatcher
+
+    frames = np.random.default_rng(11).random((2, 1, RES, RES, 3), np.float32)
+    caps = ["the snitch is picked up", "the cone is rotating"]
+    service._counter = 700
+    ref = service.predict(frames, caps)
+
+    batcher = DynamicBatcher(service, max_wait_ms=1000.0)
+    try:
+        service._counter = 700
+        results = {}
+
+        def call(i):
+            results[i] = batcher.predict(frames[i:i + 1], [caps[i]])
+
+        t0 = threading.Thread(target=call, args=(0,))
+        t0.start()
+        time.sleep(0.05)  # deterministic row order: request 0 enqueues first
+        t1 = threading.Thread(target=call, args=(1,))
+        t1.start()
+        t0.join(timeout=60)
+        t1.join(timeout=60)
+        assert set(results) == {0, 1}
+        assert batcher._dispatches == 1  # coalesced, not two padded batches
+        np.testing.assert_allclose(results[0][0], ref[0], atol=1e-6)
+        np.testing.assert_allclose(results[1][0], ref[1], atol=1e-6)
+    finally:
+        batcher.close()
+
+
+def test_dynamic_batcher_partial_batch_dispatches_after_window(service):
+    """A lone request must not wait for the batch to fill: the window
+    expires and it runs padded, exactly like the unbatched service."""
+    from textocvp_tpu.serve.batching import DynamicBatcher
+
+    frames = np.random.default_rng(12).random((1, 1, RES, RES, 3), np.float32)
+    service._counter = 800
+    ref = service.predict(frames, ["the snitch is picked up"])
+
+    batcher = DynamicBatcher(service, max_wait_ms=20.0)
+    try:
+        service._counter = 800
+        out = batcher.predict(frames, ["the snitch is picked up"])
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+    finally:
+        batcher.close()
+
+
+def test_dynamic_batcher_rejects_bad_requests_individually(service):
+    """Validation runs on the caller's thread BEFORE joining a shared batch:
+    an OOV caption, wrong row count, or empty request raises for that caller
+    only and never reaches the device."""
+    from textocvp_tpu.serve.batching import DynamicBatcher
+
+    batcher = DynamicBatcher(service, max_wait_ms=20.0)
+    try:
+        frames = np.zeros((1, 1, RES, RES, 3), np.float32)
+        before = batcher._dispatches
+        with pytest.raises(ValueError, match="out-of-vocabulary"):
+            batcher.predict(frames, ["zorblax"])
+        with pytest.raises(ValueError, match="captions"):
+            batcher.predict(frames, ["a", "b"])
+        with pytest.raises(ValueError, match="empty request"):
+            batcher.predict(np.zeros((0, 1, RES, RES, 3), np.float32), [])
+        assert batcher._dispatches == before  # nothing dispatched
+        # good request still works afterwards
+        out = batcher.predict(frames, ["the snitch is picked up"])
+        assert out.shape == (1, NUM_PREDS, RES, RES, 3)
+    finally:
+        batcher.close()
+
+
+def test_http_server_dynamic_batching(service):
+    """serve(dynamic_batch_ms=...) end to end: two concurrent HTTP clients
+    get correct replies from one shared device batch."""
+    from textocvp_tpu.serve import serve
+
+    httpd = serve(service, port=0, warmup=False, dynamic_batch_ms=300.0)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(i, out):
+            frames = np.full((1, 1, RES, RES, 3), i * 0.25, np.float32)
+            buf = io.BytesIO()
+            np.savez(buf, frames=frames,
+                     captions=np.array(["the snitch is picked up"]))
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/predict", data=buf.getvalue(),
+                headers={"Content-Type": "application/npz"})
+            with urllib.request.urlopen(req, timeout=120) as r:
+                out[i] = np.load(io.BytesIO(r.read()))["pred_frames"]
+
+        outs = {}
+        threads = [threading.Thread(target=post, args=(i, outs))
+                   for i in range(2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=120)
+        assert set(outs) == {0, 1}
+        for i in range(2):
+            assert outs[i].shape == (1, NUM_PREDS, RES, RES, 3)
+            assert outs[i].dtype == np.uint8
+
+        # observability endpoint: request counters + batcher fill
+        stats = json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/stats", timeout=30).read())
+        assert stats["requests"] >= 2
+        assert stats["rows"] >= 2
+        assert stats["errors"] == 0
+        assert stats["batches_dispatched"] >= 1
+        assert 0 < stats["mean_batch_fill"] <= 1
+        assert stats["latency_ms_p50"] > 0
+    finally:
+        httpd.shutdown()

@@ -28,6 +28,10 @@ def serve_args(argv=None):
                              "the predictor's matmuls (needs --mesh_data)")
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--dynamic_batch_ms", type=float, default=None,
+                        help="coalesce concurrent requests into shared "
+                             "device batches, waiting at most this many ms "
+                             "to fill a batch (off by default)")
     parser.add_argument("--export", default=None, metavar="DIR",
                         help="instead of serving, AOT-export the compiled "
                              "stages (StableHLO + manifest) to DIR — "
@@ -66,7 +70,8 @@ def main(argv=None):
         out = export_service(service, args.export)
         print(f"exported serving artifact to {out}")
         return 0
-    httpd = serve(service, host=args.host, port=args.port)
+    httpd = serve(service, host=args.host, port=args.port,
+                  dynamic_batch_ms=args.dynamic_batch_ms)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

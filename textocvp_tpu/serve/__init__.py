@@ -8,8 +8,12 @@ def __getattr__(name):
         from textocvp_tpu.serve import export as _e
 
         return getattr(_e, name)
+    if name == "DynamicBatcher":
+        from textocvp_tpu.serve.batching import DynamicBatcher
+
+        return DynamicBatcher
     raise AttributeError(name)
 
 
 __all__ = ["PredictionService", "serve", "export_service",
-           "ExportedPredictionService"]
+           "ExportedPredictionService", "DynamicBatcher"]
