@@ -53,3 +53,38 @@ def test_model_name_validated():
 def test_train_predictor_requires_decomp_ckpt():
     with pytest.raises(SystemExit):
         train_predictor_args(["-d", "/tmp/x", "--name_pred_exp", "p"])
+
+
+def test_create_experiment_name_flag(tmp_path):
+    """Reference contract: 01_create_experiment -d DIR --name NAME creates
+    the experiment at DIR/NAME (01_create_experiment.py:21-23)."""
+    from textocvp_tpu.cli.arguments import (
+        create_experiment_args,
+        create_predictor_experiment_args,
+    )
+
+    args = create_experiment_args(
+        ["-d", str(tmp_path / "group"), "--name", "run1",
+         "--model_name", "SAVi", "--dataset_name", "Synthetic"])
+    assert args.exp_directory == str(tmp_path / "group" / "run1")
+
+    # without --name, -d is the full experiment path (round-1 behavior kept)
+    args = create_experiment_args(
+        ["-d", str(tmp_path / "exp2"),
+         "--model_name", "SAVi", "--dataset_name", "Synthetic"])
+    assert args.exp_directory == str(tmp_path / "exp2")
+
+    # predictor creation accepts the reference's --name spelling
+    args = create_predictor_experiment_args(
+        ["-d", str(tmp_path / "exp2"), "--name", "predA",
+         "--predictor_name", "TextOCVP_T5"])
+    assert args.name_pred_exp == "predA"
+
+
+def test_create_experiment_cli_end_to_end_with_name(tmp_path):
+    from textocvp_tpu.cli.create_experiment import main
+
+    exp = main(["-d", str(tmp_path / "grp"), "--name", "e1",
+                "--model_name", "SAVi", "--dataset_name", "Synthetic"])
+    assert (tmp_path / "grp" / "e1" / "experiment_params.json").exists()
+    assert str(exp.exp_path).endswith("grp/e1")

@@ -25,12 +25,19 @@ def create_experiment_args(argv=None):
     parser = argparse.ArgumentParser(description="Create a decomposition experiment")
     parser.add_argument("-d", "--exp_directory", required=True,
                         help="Directory for the new experiment")
+    parser.add_argument("--name", default=None,
+                        help="Experiment name; the experiment is created at "
+                             "EXP_DIRECTORY/NAME (reference "
+                             "01_create_experiment.py:21-23 contract). "
+                             "Omitted: -d is the full experiment path")
     parser.add_argument("--model_name", required=True,
                         choices=get_available_configs("models"))
     parser.add_argument("--dataset_name", required=True,
                         choices=get_available_configs("datasets"))
     args = parser.parse_args(argv)
     args.exp_directory = _norm_exp_dir(args.exp_directory)
+    if args.name:
+        args.exp_directory = os.path.join(args.exp_directory, args.name)
     return args
 
 
@@ -38,8 +45,11 @@ def create_predictor_experiment_args(argv=None):
     parser = argparse.ArgumentParser(description="Create a nested predictor experiment")
     parser.add_argument("-d", "--exp_directory", required=True,
                         help="Parent decomposition experiment directory")
-    parser.add_argument("--name_pred_exp", required=True,
-                        help="Name for the new predictor experiment")
+    parser.add_argument("--name_pred_exp", "--name", dest="name_pred_exp",
+                        required=True,
+                        help="Name for the new predictor experiment "
+                             "(--name is the reference's creation-time "
+                             "spelling, 01_create_predictor_experiment.py:22)")
     parser.add_argument("--predictor_name", required=True,
                         choices=get_available_configs("predictors"))
     parser.add_argument("--skip_ckpt_check", action="store_true",
