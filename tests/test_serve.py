@@ -222,11 +222,50 @@ def test_mesh_service_matches_single_device(served_exp, service):
     out = svc.predict(frames, caps)
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
-    with pytest.raises(ValueError, match="divisible"):
-        PredictionService(
-            served_exp, "tiny_tf", decomp_ckpt="checkpoint_epoch_final",
-            pred_ckpt="checkpoint_epoch_final", batch_size=3, max_tokens=8,
-            mesh_axes={"data": 2, "model": 4})
+
+def test_seq_parallel_decode_matches_single_device(served_exp, service):
+    """batch_size=2 on a data=8 mesh is NOT divisible: the service must fall
+    back to sequence-parallel decode (inputs replicated, the flattened
+    batch*num_preds frame dim sharded across the chips) and still reproduce
+    the single-device service bit-for-bit-close. This is the single-sequence
+    low-latency serving path — the batch axis cannot split, the frame axis
+    can."""
+    from textocvp_tpu.serve import PredictionService
+
+    svc = PredictionService(
+        served_exp, "tiny_tf", decomp_ckpt="checkpoint_epoch_final",
+        pred_ckpt="checkpoint_epoch_final", batch_size=2, max_tokens=8,
+        mesh_axes={"data": 8, "model": 1})
+    assert svc._seq_parallel, "2 % 8 != 0 must trigger sequence-parallel decode"
+    frames = np.random.default_rng(9).random((2, 1, RES, RES, 3), np.float32)
+    caps = ["the snitch is picked up", "the cone is rotating"]
+    service._counter = 901
+    ref = service.predict(frames, caps)
+    svc._counter = 901
+    out = svc.predict(frames, caps)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_seq_parallel_decode_spans_model_axis(served_exp):
+    """With model>1 and a replicated (non-ViT) decoder, sequence-parallel
+    decode shards frames over BOTH mesh axes — every chip decodes frames.
+    The single-device reference must use the SAME compiled batch size (1):
+    the stochastic slot initializer samples per compiled batch."""
+    from textocvp_tpu.serve import PredictionService
+
+    kw = dict(decomp_ckpt="checkpoint_epoch_final",
+              pred_ckpt="checkpoint_epoch_final", batch_size=1, max_tokens=8)
+    ref_svc = PredictionService(served_exp, "tiny_tf", **kw)
+    svc = PredictionService(served_exp, "tiny_tf",
+                            mesh_axes={"data": 2, "model": 4}, **kw)
+    assert svc._seq_parallel
+    frames = np.random.default_rng(11).random((1, 1, RES, RES, 3), np.float32)
+    caps = ["the snitch is picked up"]
+    ref_svc._counter = 902
+    ref = ref_svc.predict(frames, caps)
+    svc._counter = 902
+    out = svc.predict(frames, caps)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
 def test_warmup_uses_in_vocab_caption(service):

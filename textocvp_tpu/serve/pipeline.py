@@ -191,9 +191,12 @@ class PredictionService(InferenceFrontend):
     (e.g. ``{"data": 4, "model": 2}``; ``src/07_serve.py --mesh_data
     --mesh_model``): the request batch shards over the ``data`` axis and,
     with ``model > 1``, the predictor's large matmuls shard Megatron-style
-    over the ``model`` axis (parallel/partitioning.py). ``batch_size`` must
-    divide evenly over the data axis — serving shapes are fixed, so this is
-    validated at build time rather than padded per request. The experiment's
+    over the ``model`` axis (parallel/partitioning.py).
+    A batch size NOT divisible by the data axis (e.g. a batch-1
+    single-sequence service on 8 chips) switches to SEQUENCE-parallel
+    decode: encode+rollout replicate (latency-bound sequential work) and
+    the decode — the dominant stage — shards its flattened
+    ``batch*num_preds`` frame dim across the mesh.
     ``tpu.mesh_axes`` (a TRAINING knob that defaults to data=-1) is
     deliberately not consulted: a serving process must not silently change
     its compiled shapes with the host's device count. Without ``mesh_axes``
@@ -257,6 +260,7 @@ class PredictionService(InferenceFrontend):
 
         # opt-in multi-chip serving (see class docstring)
         self.mesh = None
+        self._seq_parallel = False
         if mesh_axes:
             from textocvp_tpu.parallel.distributed import get_runtime_mesh
             from textocvp_tpu.parallel.mesh import (
@@ -267,11 +271,17 @@ class PredictionService(InferenceFrontend):
 
             self.mesh = get_runtime_mesh({"mesh_axes": mesh_axes})
             d = self.mesh.shape["data"]
-            if self.batch_size % d:
-                raise ValueError(
-                    f"serving batch_size={self.batch_size} must be divisible "
-                    f"by the mesh data axis ({d}); pick a divisible batch or "
-                    f"drop mesh_axes")
+            # batch_size not divisible by the data axis (the single-sequence
+            # low-latency case, e.g. batch 1 on 8 chips): fall back to
+            # SEQUENCE-parallel decode — inputs replicate, the tiny
+            # encode+rollout runs identically everywhere (it is latency-bound
+            # sequential work; replication costs no wall-clock), and the
+            # decode (the dominant stage) shards its flattened batch*num_preds
+            # FRAME dim across the chips instead of the batch dim. The
+            # reference has no counterpart (DataParallel scatters batch only,
+            # base/baseTrainer.py:132-135); this is the TPU-native way to
+            # spend a mesh on one long rollout.
+            self._seq_parallel = bool(self.batch_size % d)
             from textocvp_tpu.parallel.partitioning import (
                 decomp_tp_enabled,
                 shard_decomp_variables,
@@ -292,7 +302,9 @@ class PredictionService(InferenceFrontend):
             else:
                 self.pred_vars = jax.device_put(
                     self.pred_vars, replicated_sharding(self.mesh))
-            self._batch_sharding = batch_sharding(self.mesh)
+            self._batch_sharding = (replicated_sharding(self.mesh)
+                                    if self._seq_parallel
+                                    else batch_sharding(self.mesh))
 
         self._lock = threading.Lock()
         self._counter = 0
@@ -314,7 +326,32 @@ class PredictionService(InferenceFrontend):
         model, predictor = self.model, self.predictor
         model_vars, pred_vars = self.model_vars, self.pred_vars
         p, s, d = self.num_preds, self.num_slots, self.slot_dim
-        tail_chunks = pick_tail_chunks(self.batch_size * p, s)
+
+        # sequence-parallel decode (see __init__): shard the flattened
+        # batch*num_preds frame dim over the mesh instead of the batch dim.
+        # Frames pad up to the shard multiple inside the traced program
+        # (static shapes) and the pad rows are sliced off before returning.
+        seq_par = self.mesh is not None and self._seq_parallel
+        frame_sharding = None
+        n_shards = 1
+        if seq_par:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from textocvp_tpu.parallel.partitioning import decomp_tp_enabled
+
+            axes = ("data",)
+            if (self.mesh.shape["model"] > 1
+                    and not decomp_tp_enabled(self.exp_params)):
+                # decode weights are replicated over 'model' (only ViT-scale
+                # decomps TP-shard the decoder): spend EVERY chip on frames
+                axes = ("data", "model")
+            n_shards = 1
+            for a in axes:
+                n_shards *= self.mesh.shape[a]
+            frame_sharding = NamedSharding(self.mesh, PartitionSpec(axes))
+        rows = self.batch_size * p
+        decode_rows = -(-rows // n_shards) * n_shards  # ceil to shard multiple
+        tail_chunks = pick_tail_chunks(decode_rows, s)
 
         def _predict(mv, pv, videos, key, **text_kwargs):
             out = model.apply(mv, videos, decode=False, rngs={"slots": key})
@@ -324,9 +361,16 @@ class PredictionService(InferenceFrontend):
         def _decode(mv, pred_slots, tail_chunks=tail_chunks, tail_unroll=None,
                     quant_scales=None):
             b = pred_slots.shape[0]
+            flat = pred_slots.reshape(b * p, s, d)
+            if seq_par:
+                pad_rows = decode_rows - b * p
+                if pad_rows:
+                    flat = jnp.concatenate(
+                        [flat, jnp.zeros((pad_rows, s, d), flat.dtype)], axis=0)
+                flat = jax.lax.with_sharding_constraint(flat, frame_sharding)
             # int8 decode (tpu.decode_quant; models/quant.py)
             qkw = {} if quant_scales is None else {"quant_scales": quant_scales}
-            dec = model.apply(mv, pred_slots.reshape(b * p, s, d),
+            dec = model.apply(mv, flat,
                               method="decode", tail_chunks=tail_chunks,
                               tail_unroll=tail_unroll, **qkw)
             imgs = jnp.clip(dec["recons_imgs"], 0.0, 1.0)
@@ -334,6 +378,8 @@ class PredictionService(InferenceFrontend):
             # and fetching uint8 instead of float32 is 4x less D2H traffic
             # (the bottleneck on remote-attached runtimes; bench_serve.py)
             imgs = jnp.round(imgs * 255.0).astype(jnp.uint8)
+            if seq_par:
+                imgs = imgs[:b * p]
             return imgs.reshape(b, p, *imgs.shape[1:])
 
         # small frozen weights: bake into the executables as constants
@@ -372,7 +418,7 @@ class PredictionService(InferenceFrontend):
                 cfg = (self.exp_params.get("tpu") or {}).get("decode_chunks")
                 mk = partial(make_decode_stage, quant_scales=quant_scales,
                              tail_chunks=resolve_tail_chunks(
-                                 cfg, self.batch_size * p, s, quant=True))
+                                 cfg, decode_rows, s, quant=True))
             if autotune_enabled(self.exp_params):
                 from textocvp_tpu.core.logger import print_
                 from textocvp_tpu.models.chunked import decode_candidate_schedules
@@ -380,8 +426,10 @@ class PredictionService(InferenceFrontend):
                 cfg_chunks = (self.exp_params.get("tpu") or {}).get("decode_chunks")
 
                 def schedules_of(pred_slots):
+                    n_rows = (decode_rows if seq_par
+                              else pred_slots.shape[0] * p)
                     return decode_candidate_schedules(
-                        pred_slots.shape[0] * p, s, configured_chunks=cfg_chunks,
+                        n_rows, s, configured_chunks=cfg_chunks,
                         quant=quant_scales is not None)
 
                 def sync(imgs):
