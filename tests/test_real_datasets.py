@@ -153,6 +153,163 @@ def test_cater_random_start_deterministic_across_workers(tmp_path, worker_type):
     assert any(not np.array_equal(va, vb) for va, vb in zip(a[0], a[1]))
 
 
+class _StubVideoReader:
+    """imageio-reader lookalike over an in-memory (T,H,W,C) uint8 array —
+    lets the mp4 code paths (indexed get_data, count_frames, close) run
+    without an ffmpeg backend."""
+
+    def __init__(self, video, counters):
+        self.video = video
+        self.counters = counters
+        self.closed = False
+
+    def get_data(self, i):
+        assert not self.closed, "read after close()"
+        self.counters["get_data"] += 1
+        if not 0 <= int(i) < self.video.shape[0]:
+            raise IndexError(i)
+        return self.video[int(i)]
+
+    def count_frames(self):
+        assert not self.closed, "probe after close()"
+        self.counters["count_frames"] += 1
+        return self.video.shape[0]
+
+    def close(self):
+        self.closed = True
+        self.counters["close"] += 1
+
+
+@pytest.fixture()
+def stub_mp4(monkeypatch):
+    """Patch imageio.get_reader so any .mp4 path decodes from a synthetic
+    video whose frame t is constant pixel value t (start indices are then
+    readable off the loaded frames). Returns the call counters."""
+    import imageio
+
+    from textocvp_tpu.data import datasets
+
+    n_total = 31  # CATER clips are 31+ frames (reference Cater.py:137-141)
+    video = np.broadcast_to(
+        np.arange(n_total, dtype=np.uint8)[:, None, None, None],
+        (n_total, 8, 8, 3)).copy()
+    counters = {"get_data": 0, "count_frames": 0, "close": 0, "open": 0}
+
+    def fake_get_reader(path, *a, **k):
+        assert str(path).endswith(".mp4")
+        counters["open"] += 1
+        return _StubVideoReader(video, counters)
+
+    monkeypatch.setattr(imageio, "get_reader", fake_get_reader)
+    datasets._VIDEO_LENGTH_CACHE.clear()
+    yield counters, n_total
+    datasets._VIDEO_LENGTH_CACHE.clear()
+
+
+def test_mp4_read_video_indexed_and_closed(stub_mp4):
+    """_read_video on a container: exactly one get_data per wanted index
+    (indexed access like the reference's decord get_batch — NOT a full
+    prefix decode), and the reader is closed afterwards."""
+    from textocvp_tpu.data.datasets import _read_video
+
+    counters, _ = stub_mp4
+    indices = np.arange(20, 24)
+    frames = _read_video("clip.mp4", indices)
+    assert frames.shape == (4, 8, 8, 3)
+    np.testing.assert_allclose(frames[:, 0, 0, 0] * 255, indices, atol=0.5)
+    assert counters["get_data"] == 4  # no decode of frames 0..19
+    assert counters["close"] == 1
+
+
+def test_mp4_video_length_cached(stub_mp4):
+    """_video_length probes the container ONCE per path: repeated calls
+    (random_start hits this every __getitem__) come from the cache, and the
+    probing reader is closed."""
+    from textocvp_tpu.data.datasets import _video_length
+
+    counters, n_total = stub_mp4
+    assert _video_length("clip.mp4") == n_total
+    assert _video_length("clip.mp4") == n_total
+    assert _video_length("clip.mp4") == n_total
+    assert counters["count_frames"] == 1
+    assert counters["open"] == 1
+    assert counters["close"] == 1
+    # a different path is its own cache entry
+    assert _video_length("other.mp4") == n_total
+    assert counters["count_frames"] == 2
+
+
+def test_cater_mp4_random_start(tmp_path, stub_mp4):
+    """The CATER mp4 leg end to end (stubbed decoder): random_start draws a
+    valid start for the 31-frame clip, the loaded frames are the contiguous
+    window at that start, the length probe is amortized to one per video,
+    and the fixed-start path starts at frame 1 (reference Cater.py:137-141)."""
+    from textocvp_tpu.data.datasets import CATER
+
+    counters, n_total = stub_mp4
+    root = tmp_path / "CATER" / "easy"
+    root.mkdir(parents=True)
+    ann = {str(i): {"video": "videos/v.mp4", "caption": "the snitch is rotating"}
+           for i in range(4)}
+    for split in ("train", "test"):
+        with open(root / f"{split}_explicit.json", "w") as f:
+            json.dump(ann, f)
+
+    num_frames = 8
+    ds = CATER(root=str(tmp_path / "CATER"), mode="easy", split="train",
+               num_frames=num_frames, img_size=(8, 8), random_start=True)
+    starts = []
+    for epoch in range(3):
+        ds.set_epoch(epoch)
+        for i in range(len(ds)):
+            frames, _ = ds[i]
+            start = int(round(float(frames[0, 0, 0, 0]) * 255))
+            starts.append(start)
+            assert 0 <= start <= n_total - num_frames
+            np.testing.assert_allclose(
+                frames[:, 0, 0, 0] * 255,
+                np.arange(start, start + num_frames), atol=0.5)
+    assert len(set(starts)) > 1  # actually random, not stuck at one start
+    # 12 __getitem__ calls, ONE length probe (same video path throughout)
+    assert counters["count_frames"] == 1
+
+    ds_test = CATER(root=str(tmp_path / "CATER"), mode="easy", split="test",
+                    num_frames=num_frames, img_size=(8, 8))
+    frames, _ = ds_test[0]
+    assert int(round(float(frames[0, 0, 0, 0]) * 255)) == 1  # fixed start = 1
+
+
+def test_cater_real_mp4_when_ffmpeg_present(tmp_path):
+    """Skip-gated real-decoder leg: when an ffmpeg backend exists, write a
+    real mp4 and run the same CATER path with no stubs."""
+    import imageio
+
+    from textocvp_tpu.data.datasets import CATER
+
+    root = tmp_path / "CATER" / "easy"
+    (root / "videos").mkdir(parents=True)
+    vid = np.broadcast_to(
+        (np.arange(16, dtype=np.uint8) * 16)[:, None, None, None],
+        (16, 16, 16, 3)).copy()
+    try:
+        writer = imageio.get_writer(str(root / "videos" / "v.mp4"), fps=10)
+        for f in vid:
+            writer.append_data(f)
+        writer.close()
+    except Exception:
+        pytest.skip("no ffmpeg backend available for mp4 encode")
+    ann = {"0": {"video": "videos/v.mp4", "caption": "the snitch is rotating"}}
+    with open(root / "test_explicit.json", "w") as f:
+        json.dump(ann, f)
+    ds = CATER(root=str(tmp_path / "CATER"), mode="easy", split="test",
+               num_frames=4, img_size=(16, 16))
+    frames, caption = ds[0]
+    assert frames.shape == (4, 16, 16, 3)
+    # lossy codec: frame values only approximately match (fixed start = 1)
+    np.testing.assert_allclose(
+        frames[:, 8, 8, 0] * 255, np.arange(1, 5) * 16, atol=12)
+
+
 def test_cater_annotations_and_vocab(tmp_path):
     from textocvp_tpu.data.datasets import CATER
     from textocvp_tpu.data.vocabularies import CATER_HARD_VOCAB

@@ -100,8 +100,18 @@ def _load_image_resized(path: str, size) -> np.ndarray:
     return arr
 
 
+# Frame counts of video CONTAINERS (mp4/avi), keyed by path. Probing a
+# container is a full-file scan (imageio count_frames); training data is
+# immutable, and random_start needs the length on EVERY __getitem__
+# (reference pays this once per open via decord's indexed reader,
+# /root/reference/src/data/Cater.py:132-142). Per-process: loader worker
+# processes each build their own on first touch — O(1) amortized per video.
+_VIDEO_LENGTH_CACHE: dict = {}
+
+
 def _video_length(path: str) -> int:
-    """Number of frames in a video (any format _read_video supports)."""
+    """Number of frames in a video (any format _read_video supports).
+    Container probes are cached per path (see _VIDEO_LENGTH_CACHE)."""
     if os.path.isdir(path):
         return sum(1 for f in os.listdir(path)
                    if f.lower().endswith((".png", ".jpg", ".jpeg")))
@@ -110,9 +120,17 @@ def _video_length(path: str) -> int:
         if hasattr(arr, "files"):
             arr = arr[arr.files[0]]
         return int(arr.shape[0])
-    import imageio
+    n = _VIDEO_LENGTH_CACHE.get(path)
+    if n is None:
+        import imageio
 
-    return int(imageio.get_reader(path).count_frames())
+        reader = imageio.get_reader(path)
+        try:
+            n = int(reader.count_frames())
+        finally:
+            reader.close()
+        _VIDEO_LENGTH_CACHE[path] = n
+    return n
 
 
 def _read_video(path: str, indices: np.ndarray, size=None) -> np.ndarray:
@@ -155,15 +173,15 @@ def _read_video(path: str, indices: np.ndarray, size=None) -> np.ndarray:
             "(pip install imageio-ffmpeg), or re-export CATER videos as "
             "frame directories or .npy arrays — both are supported."
         ) from e
-    frames = []
-    wanted = set(int(i) for i in indices)
-    last = max(wanted)
-    for i, frame in enumerate(reader):
-        if i in wanted:
-            frames.append(np.asarray(frame, dtype=np.float32) / 255.0)
-        if i >= last:
-            break
-    reader.close()
+    # Indexed reads, mirroring the reference's decord VideoReader.get_batch
+    # (/root/reference/src/data/Cater.py:132-142): imageio's get_data(i)
+    # reads forward for nearby indices and ffmpeg-seeks for far jumps, so a
+    # large random_start never decodes the whole prefix.
+    try:
+        frames = [np.asarray(reader.get_data(int(i)), dtype=np.float32) / 255.0
+                  for i in indices]
+    finally:
+        reader.close()
     return np.stack(frames, axis=0)
 
 
