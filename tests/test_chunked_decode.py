@@ -38,6 +38,31 @@ def test_pick_tail_chunks_policy():
     assert pick_tail_unroll(4, remat=True) == 1
 
 
+def test_pick_tail_chunks_shard_multiple():
+    """Under sequence-parallel decode the per-chunk row slice must stay a
+    multiple of the mesh shard count, or GSPMD reshards inside the scan body
+    (ADVICE r3). 1216 rows / 4 chunks = 304 rows: fine for 8 shards
+    (304 = 38*8) but NOT for 64 — the policy must then pick a coarser count."""
+    assert pick_tail_chunks(1216, 8, shard_multiple=8) == 4
+    for m in (8, 64):
+        c = pick_tail_chunks(1216, 8, shard_multiple=m)
+        assert (1216 // c) % m == 0
+    # 152 rows x 8 shards: 2 chunks would give 76-row slices (ok for 4
+    # shards, not aligned checks): every admissible count keeps the multiple
+    for rows, m in ((152, 8), (608, 16), (2432, 8)):
+        c = pick_tail_chunks(rows, 8, shard_multiple=m)
+        assert (rows // c) % m == 0
+    assert resolve_tail_chunks("auto", 1216, 8, shard_multiple=64) == \
+        pick_tail_chunks(1216, 8, shard_multiple=64)
+
+    from textocvp_tpu.models.chunked import decode_candidate_schedules
+
+    cands = decode_candidate_schedules(1216, 8, shard_multiple=64)
+    assert cands, "candidate list must never be empty"
+    assert all(c == 1 or (1216 % c == 0 and (1216 // c) % 64 == 0)
+               for c, _ in cands)
+
+
 def test_decode_candidate_schedules():
     from textocvp_tpu.models.chunked import decode_candidate_schedules
 

@@ -268,6 +268,59 @@ def test_seq_parallel_decode_spans_model_axis(served_exp):
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+def test_nondivisible_larger_batch_pads_and_batch_shards(served_exp):
+    """A request batch LARGER than the data axis that isn't divisible by it
+    (e.g. 3 on data=2) must NOT fall back to sequence-parallel decode — that
+    would replicate the full 3-sequence encode+rollout on every chip.
+    Instead the compiled batch pads up to the next axis multiple (4) and
+    batch-shards; the caller's batch_size still bounds requests. Equivalence
+    is checked against a single-device service compiled at the SAME padded
+    batch (the stochastic slot initializer samples per compiled batch)."""
+    from textocvp_tpu.serve import PredictionService
+
+    kw = dict(decomp_ckpt="checkpoint_epoch_final",
+              pred_ckpt="checkpoint_epoch_final", max_tokens=8)
+    svc = PredictionService(served_exp, "tiny_tf", batch_size=3,
+                            mesh_axes={"data": 2, "model": 4}, **kw)
+    assert not svc._seq_parallel
+    assert svc.batch_size == 4  # padded to the next data-axis multiple
+    ref_svc = PredictionService(served_exp, "tiny_tf", batch_size=4, **kw)
+
+    frames = np.random.default_rng(13).random((3, 1, RES, RES, 3), np.float32)
+    caps = ["the snitch is picked up", "the cone is rotating",
+            "the snitch is sliding"]
+    ref_svc._counter = 903
+    ref = ref_svc.predict(frames, caps)
+    svc._counter = 903
+    out = svc.predict(frames, caps)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_seq_parallel_with_tp_sharded_decoder(dinosaur_served_exp):
+    """Sequence-parallel decode where the decomp is a ViT-scale model with
+    decomp TP enabled: frames shard over ('data',) only — the 'model' axis
+    carries the TP-sharded patch-decoder kernels — and the mesh service must
+    reproduce the single-device service at the same compiled batch."""
+    from textocvp_tpu.serve import PredictionService
+
+    kw = dict(decomp_ckpt="checkpoint_epoch_final",
+              pred_ckpt="checkpoint_epoch_final", batch_size=1, max_tokens=8)
+    ref_svc = PredictionService(dinosaur_served_exp, "tiny_tf", **kw)
+    svc = PredictionService(dinosaur_served_exp, "tiny_tf",
+                            mesh_axes={"data": 2, "model": 4}, **kw)
+    assert svc._seq_parallel
+    qkv = svc.model_vars["params"]["image_encoder"]["block_0"]["qkv"]["kernel"]
+    assert not qkv.sharding.is_fully_replicated  # decomp TP actually on
+
+    frames = np.random.default_rng(17).random((1, 1, 28, 28, 3), np.float32)
+    caps = ["the red ball is bouncing"]
+    ref_svc._counter = 904
+    ref = ref_svc.predict(frames, caps)
+    svc._counter = 904
+    out = svc.predict(frames, caps)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
 def test_warmup_uses_in_vocab_caption(service):
     """serve()'s default warmup must work with closed-vocab tokenizers
     (regression: the literal caption 'warmup' is OOV for every CustomTokenizer

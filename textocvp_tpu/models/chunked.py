@@ -36,11 +36,17 @@ TARGET_FRAMES_PER_CHUNK = 2048
 
 
 def pick_tail_chunks(n_rows: int, num_slots: int,
-                     target_frames: int = TARGET_FRAMES_PER_CHUNK) -> int:
+                     target_frames: int = TARGET_FRAMES_PER_CHUNK,
+                     shard_multiple: int = 1) -> int:
     """Chunk count for a decode of ``n_rows`` slot-sets (conv batch =
     n_rows * num_slots frames): the largest divisor of n_rows keeping at
     least ``target_frames`` frames per chunk. 1 = flat decode (small batches
-    are left alone)."""
+    are left alone).
+
+    ``shard_multiple``: under sequence-parallel decode the row dim carries a
+    mesh sharding of that many shards; only chunk counts whose per-chunk row
+    slice stays a multiple of it are admissible, else GSPMD reshards inside
+    the scan body and negates the frame-sharding win."""
     frames = n_rows * num_slots
     if frames < 1.5 * target_frames:
         return 1
@@ -50,12 +56,14 @@ def pick_tail_chunks(n_rows: int, num_slots: int,
             continue
         if frames // c < target_frames:
             break
+        if (n_rows // c) % shard_multiple:
+            continue
         best = c
     return best
 
 
 def resolve_tail_chunks(config_value, n_rows: int, num_slots: int,
-                        quant: bool = False) -> int:
+                        quant: bool = False, shard_multiple: int = 1) -> int:
     """Resolve the ``tpu.decode_chunks`` experiment option: None/"auto" ->
     measured policy; an int -> that many chunks (1 disables).
 
@@ -66,7 +74,8 @@ def resolve_tail_chunks(config_value, n_rows: int, num_slots: int,
     --decode_quant int8, docs/PERFORMANCE.md "int8 decode"). Auto policy
     therefore returns 1 when quantizing; an explicit int still wins."""
     if config_value in (None, "auto"):
-        return 1 if quant else pick_tail_chunks(n_rows, num_slots)
+        return 1 if quant else pick_tail_chunks(
+            n_rows, num_slots, shard_multiple=shard_multiple)
     return max(1, int(config_value))
 
 
@@ -108,7 +117,8 @@ def pick_tail_unroll(tail_chunks: int, remat: bool = False) -> int:
 
 
 def decode_candidate_schedules(n_rows: int, num_slots: int,
-                               configured_chunks=None, quant: bool = False):
+                               configured_chunks=None, quant: bool = False,
+                               shard_multiple: int = 1):
     """Candidate (tail_chunks, tail_unroll) pairs for the runtime decode
     autotuner (``tpu.decode_autotune``): the static policy pick, its fully
     unrolled form, and the neighboring chunk counts. Small, because each
@@ -117,12 +127,15 @@ def decode_candidate_schedules(n_rows: int, num_slots: int,
     candidates — the user's override must at least be measured, never
     silently disregarded. With ``quant`` the policy pick is flat (see
     resolve_tail_chunks), so the candidate set degenerates to flat plus a
-    couple of chunked probes."""
-    c0 = 1 if quant else pick_tail_chunks(n_rows, num_slots)
+    couple of chunked probes. ``shard_multiple`` filters out chunk counts
+    that would break the sequence-parallel row sharding (pick_tail_chunks)."""
+    c0 = 1 if quant else pick_tail_chunks(n_rows, num_slots,
+                                          shard_multiple=shard_multiple)
     cands = []
 
     def add(c: int, u: int):
-        if c >= 1 and (c == 1 or n_rows % c == 0) and (c, u) not in cands:
+        if (c >= 1 and (c == 1 or n_rows % c == 0) and (c, u) not in cands
+                and (c == 1 or (n_rows // c) % shard_multiple == 0)):
             cands.append((c, u))
 
     if isinstance(configured_chunks, int):

@@ -269,19 +269,38 @@ class PredictionService(InferenceFrontend):
             )
             from textocvp_tpu.parallel.partitioning import shard_predictor_params
 
+            from textocvp_tpu.core.logger import print_
+            from textocvp_tpu.parallel.mesh import _batch_axis_size
+
             self.mesh = get_runtime_mesh({"mesh_axes": mesh_axes})
-            d = self.mesh.shape["data"]
-            # batch_size not divisible by the data axis (the single-sequence
-            # low-latency case, e.g. batch 1 on 8 chips): fall back to
-            # SEQUENCE-parallel decode — inputs replicate, the tiny
-            # encode+rollout runs identically everywhere (it is latency-bound
-            # sequential work; replication costs no wall-clock), and the
-            # decode (the dominant stage) shards its flattened batch*num_preds
-            # FRAME dim across the chips instead of the batch dim. The
-            # reference has no counterpart (DataParallel scatters batch only,
-            # base/baseTrainer.py:132-135); this is the TPU-native way to
-            # spend a mesh on one long rollout.
-            self._seq_parallel = bool(self.batch_size % d)
+            d = _batch_axis_size(self.mesh)
+            # batch_size SMALLER than the batch mesh axis (the
+            # single-sequence low-latency case, e.g. batch 1 on 8 chips):
+            # fall back to SEQUENCE-parallel decode — inputs replicate, the
+            # tiny encode+rollout runs identically everywhere (it is
+            # latency-bound sequential work; replication costs no
+            # wall-clock), and the decode (the dominant stage) shards its
+            # flattened batch*num_preds FRAME dim across the chips instead
+            # of the batch dim. The reference has no counterpart
+            # (DataParallel scatters batch only, base/baseTrainer.py:132-135);
+            # this is the TPU-native way to spend a mesh on one long rollout.
+            #
+            # A LARGER batch that merely isn't divisible (e.g. 12 on data=8)
+            # would replicate a full 12-sequence encode+rollout on every
+            # chip under seq-parallel — a throughput cliff — so instead the
+            # compiled batch pads up to the next axis multiple and batch-
+            # shards; requests still accept up to the caller's batch_size.
+            self._seq_parallel = self.batch_size < d
+            if self._seq_parallel:
+                print_(f"serve: batch {self.batch_size} < data axis {d} — "
+                       "sequence-parallel decode engaged (encode+rollout "
+                       "replicate; decode shards the frame dim)")
+            elif self.batch_size % d:
+                padded = -(-self.batch_size // d) * d
+                print_(f"serve: batch {self.batch_size} not divisible by "
+                       f"data axis {d} — compiling at padded batch {padded} "
+                       "(requests are padded per call as usual)")
+                self.batch_size = padded
             from textocvp_tpu.parallel.partitioning import (
                 decomp_tp_enabled,
                 shard_decomp_variables,
@@ -337,21 +356,24 @@ class PredictionService(InferenceFrontend):
         if seq_par:
             from jax.sharding import NamedSharding, PartitionSpec
 
+            from textocvp_tpu.parallel.mesh import _batch_axes
             from textocvp_tpu.parallel.partitioning import decomp_tp_enabled
 
-            axes = ("data",)
+            # the frame dim shards over every batch axis ('dcn'+'data' on
+            # hybrid multi-host meshes, 'data' otherwise) ...
+            axes = _batch_axes(self.mesh)
             if (self.mesh.shape["model"] > 1
                     and not decomp_tp_enabled(self.exp_params)):
-                # decode weights are replicated over 'model' (only ViT-scale
-                # decomps TP-shard the decoder): spend EVERY chip on frames
-                axes = ("data", "model")
-            n_shards = 1
+                # ... plus 'model' when decode weights replicate over it
+                # (only ViT-scale decomps TP-shard the decoder): spend
+                # EVERY chip on frames
+                axes = axes + ("model",)
             for a in axes:
                 n_shards *= self.mesh.shape[a]
             frame_sharding = NamedSharding(self.mesh, PartitionSpec(axes))
         rows = self.batch_size * p
         decode_rows = -(-rows // n_shards) * n_shards  # ceil to shard multiple
-        tail_chunks = pick_tail_chunks(decode_rows, s)
+        tail_chunks = pick_tail_chunks(decode_rows, s, shard_multiple=n_shards)
 
         def _predict(mv, pv, videos, key, **text_kwargs):
             out = model.apply(mv, videos, decode=False, rngs={"slots": key})
@@ -418,7 +440,8 @@ class PredictionService(InferenceFrontend):
                 cfg = (self.exp_params.get("tpu") or {}).get("decode_chunks")
                 mk = partial(make_decode_stage, quant_scales=quant_scales,
                              tail_chunks=resolve_tail_chunks(
-                                 cfg, decode_rows, s, quant=True))
+                                 cfg, decode_rows, s, quant=True,
+                                 shard_multiple=n_shards))
             if autotune_enabled(self.exp_params):
                 from textocvp_tpu.core.logger import print_
                 from textocvp_tpu.models.chunked import decode_candidate_schedules
@@ -430,7 +453,8 @@ class PredictionService(InferenceFrontend):
                               else pred_slots.shape[0] * p)
                     return decode_candidate_schedules(
                         n_rows, s, configured_chunks=cfg_chunks,
-                        quant=quant_scales is not None)
+                        quant=quant_scales is not None,
+                        shard_multiple=n_shards)
 
                 def sync(imgs):
                     np.asarray(imgs)  # full output fetch = the real serving cost
