@@ -104,7 +104,8 @@ def run_concurrent_clients(args, base: str, httpd):
     print(json.dumps({
         "metric": "serve_pred_frames_per_sec (HTTP, "
                   f"{args.clients} concurrent 1-row clients, "
-                  f"dynamic_batch_ms={args.dynamic_batch_ms})",
+                  f"dynamic_batch_ms={args.dynamic_batch_ms}, "
+                  f"pipeline_depth={args.pipeline_depth})",
         "value": round(rows * args.num_preds / dt, 2),
         "unit": "frames/s",
         "request_latency_ms_p50": round(1000 * lat[len(lat) // 2], 1),
@@ -129,6 +130,9 @@ def main():
     ap.add_argument("--dynamic_batch_ms", type=float, default=None,
                     help="enable serve-side dynamic request batching with "
                          "this coalescing window")
+    ap.add_argument("--pipeline_depth", type=int, default=2,
+                    help="batcher dispatcher threads (2 = double-buffered "
+                         "dispatch, 1 = serial as in round 3)")
     args = ap.parse_args()
 
     import numpy as np
@@ -153,7 +157,8 @@ def main():
             pred_ckpt="checkpoint_epoch_final", batch_size=args.batch)
         t0 = time.perf_counter()
         httpd = serve(service, host="127.0.0.1", port=0,  # warmup=compile
-                      dynamic_batch_ms=args.dynamic_batch_ms)
+                      dynamic_batch_ms=args.dynamic_batch_ms,
+                      pipeline_depth=args.pipeline_depth)
         print(f"warmup+compile: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
         threading.Thread(target=httpd.serve_forever, daemon=True).start()
         base = f"http://127.0.0.1:{httpd.server_address[1]}"

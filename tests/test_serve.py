@@ -698,6 +698,81 @@ def test_dynamic_batcher_rejects_bad_requests_individually(service):
         batcher.close()
 
 
+def test_dynamic_batcher_pipelines_dispatch():
+    """pipeline_depth=2 overlaps batch N+1's dispatch with batch N's wait:
+    two spaced single-row requests against a service whose predict blocks
+    200 ms complete in well under 2x200 ms, while depth=1 serializes them.
+    Uses a stub service so the timing is deterministic on CPU."""
+    import time
+
+    from textocvp_tpu.serve.batching import DynamicBatcher
+
+    class StubService:
+        batch_size = 1  # every request is its own device batch
+        num_context = 1
+        num_preds = 2
+
+        def _tokenize(self, captions):
+            return {}
+
+        def predict(self, frames, captions):
+            time.sleep(0.2)  # stands in for the device round-trip
+            return np.repeat(frames, self.num_preds, axis=1)
+
+    def run(depth):
+        batcher = DynamicBatcher(StubService(), max_wait_ms=1.0,
+                                 pipeline_depth=depth)
+        frames = np.zeros((1, 1, 4, 4, 3), np.float32)
+        try:
+            batcher.predict(frames, ["warm"])  # threads up and idle
+            outs = {}
+
+            def call(i):
+                outs[i] = batcher.predict(frames + i, [f"c{i}"])
+
+            threads = [threading.Thread(target=call, args=(i,))
+                       for i in range(2)]
+            t0 = time.perf_counter()
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join(timeout=30)
+            dt = time.perf_counter() - t0
+            assert batcher._dispatches == 3  # batch_size=1: no coalescing
+            for i in range(2):
+                np.testing.assert_allclose(outs[i][0, 0], i)
+            return dt
+        finally:
+            batcher.close()
+
+    serial, pipelined = run(1), run(2)
+    assert serial > 0.35  # two 200 ms dispatches back to back
+    assert pipelined < 0.35  # overlapped: ~max(200, 200) + overhead
+
+
+def test_dynamic_batcher_pipelined_matches_service(service):
+    """Through the REAL service at pipeline_depth=2: two requests spaced
+    wider than the window dispatch as two device batches whose results equal
+    direct predicts at the same RNG counters."""
+    from textocvp_tpu.serve.batching import DynamicBatcher
+
+    frames = np.random.default_rng(21).random((2, 1, RES, RES, 3), np.float32)
+    caps = ["the snitch is picked up", "the cone is rotating"]
+    service._counter = 730
+    ref0 = service.predict(frames[:1], caps[:1])
+    ref1 = service.predict(frames[1:], caps[1:])
+
+    batcher = DynamicBatcher(service, max_wait_ms=1.0, pipeline_depth=2)
+    try:
+        service._counter = 730
+        out0 = batcher.predict(frames[:1], caps[:1])
+        out1 = batcher.predict(frames[1:], caps[1:])
+        np.testing.assert_allclose(out0, ref0, atol=1e-6)
+        np.testing.assert_allclose(out1, ref1, atol=1e-6)
+    finally:
+        batcher.close()
+
+
 def test_http_server_dynamic_batching(service):
     """serve(dynamic_batch_ms=...) end to end: two concurrent HTTP clients
     get correct replies from one shared device batch."""

@@ -32,6 +32,10 @@ def serve_args(argv=None):
                         help="coalesce concurrent requests into shared "
                              "device batches, waiting at most this many ms "
                              "to fill a batch (off by default)")
+    parser.add_argument("--pipeline_depth", type=int, default=2,
+                        help="dispatcher threads for dynamic batching: 2 "
+                             "packs batch N+1 while N runs on-device "
+                             "(lower p95), 1 dispatches serially")
     parser.add_argument("--export", default=None, metavar="DIR",
                         help="instead of serving, AOT-export the compiled "
                              "stages (StableHLO + manifest) to DIR — "
@@ -71,7 +75,8 @@ def main(argv=None):
         print(f"exported serving artifact to {out}")
         return 0
     httpd = serve(service, host=args.host, port=args.port,
-                  dynamic_batch_ms=args.dynamic_batch_ms)
+                  dynamic_batch_ms=args.dynamic_batch_ms,
+                  pipeline_depth=args.pipeline_depth)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

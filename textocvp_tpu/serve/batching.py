@@ -47,15 +47,25 @@ class DynamicBatcher:
     to call from many threads; each call blocks until its rows come back.
     """
 
-    def __init__(self, service, max_wait_ms: float = 5.0):
+    def __init__(self, service, max_wait_ms: float = 5.0,
+                 pipeline_depth: int = 2):
+        """``pipeline_depth``: number of dispatcher threads. The service's
+        dispatch lock covers only the async enqueue (pipeline.py predict), so
+        with depth 2 one thread packs and dispatches batch N+1 while the
+        other waits for batch N's result bytes — second-window waiters no
+        longer eat a full extra device dispatch (p95 tail). Depth 1 restores
+        strictly serial dispatch."""
         self.service = service
         self.max_wait = max(0.0, float(max_wait_ms)) / 1000.0
         self._queue: deque[_Pending] = deque()
         self._cv = threading.Condition()
         self._closed = False
         self._dispatches = 0  # device batches run (observability + tests)
-        self._thread = threading.Thread(target=self._run, daemon=True)
-        self._thread.start()
+        self._threads = [
+            threading.Thread(target=self._run, daemon=True)
+            for _ in range(max(1, int(pipeline_depth)))]
+        for t in self._threads:
+            t.start()
 
     def __getattr__(self, name):
         # contract attributes (batch_size, resolution, ...) and warmup/
@@ -137,7 +147,8 @@ class DynamicBatcher:
                 frames = np.concatenate([i.frames for i in batch], axis=0)
                 captions = [c for i in batch for c in i.captions]
                 out = self.service.predict(frames, captions)
-                self._dispatches += 1
+                with self._cv:
+                    self._dispatches += 1
                 row = 0
                 for i in batch:
                     i.result = out[row:row + i.rows]
@@ -150,8 +161,9 @@ class DynamicBatcher:
                     i.done.set()
 
     def close(self):
-        """Reject new requests, drain the queue, retire the thread."""
+        """Reject new requests, drain the queue, retire the threads."""
         with self._cv:
             self._closed = True
             self._cv.notify_all()
-        self._thread.join()
+        for t in self._threads:
+            t.join()

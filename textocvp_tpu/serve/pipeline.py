@@ -174,9 +174,14 @@ class InferenceFrontend:
             key = jax.random.fold_in(jax.random.PRNGKey(14), self._counter)
             videos_dev, text_dev = self._place_inputs(frames, text_kwargs)
             pred_slots = self._predict_stage(videos_dev, key, **text_dev)
-            # device-side uint8 (see _decode); serving output is 8-bit by
-            # contract — the HTTP wire format is uint8 npz
-            out = np.asarray(self._decode_stage(pred_slots))
+            imgs_dev = self._decode_stage(pred_slots)
+        # fetch OUTSIDE the lock: jax dispatch is async, so the lock only
+        # serializes enqueue order — a second caller can pack and dispatch
+        # batch N+1 while this thread waits for batch N's bytes (the
+        # DynamicBatcher's pipelined dispatchers rely on this).
+        # device-side uint8 (see _decode); serving output is 8-bit by
+        # contract — the HTTP wire format is uint8 npz
+        out = np.asarray(imgs_dev)
         return out[:b].astype(np.float32) / 255.0
 
 

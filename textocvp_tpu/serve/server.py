@@ -148,21 +148,26 @@ def make_handler(service):
 
 def serve(service, host: str = "127.0.0.1", port: int = 8000,
           warmup: bool = True,
-          dynamic_batch_ms: float = None) -> ThreadingHTTPServer:
+          dynamic_batch_ms: float = None,
+          pipeline_depth: int = 2) -> ThreadingHTTPServer:
     """Create (and return) the HTTP server; caller runs serve_forever().
 
     ``dynamic_batch_ms``: when set, concurrent requests coalesce into shared
     device batches (serve/batching.py) — each dispatch waits at most this
     many ms to fill ``batch_size`` rows. Off (None) = every request pays its
-    own padded batch, as in rounds 1-2."""
+    own padded batch, as in rounds 1-2.
+    ``pipeline_depth``: dispatcher threads for the batcher (2 = pack batch
+    N+1 while N runs on-device; 1 = serial dispatch)."""
     if warmup:
         print_("serve: compiling (warmup request)...")
         service.warmup()
     if dynamic_batch_ms is not None:
         from textocvp_tpu.serve.batching import DynamicBatcher
 
-        service = DynamicBatcher(service, max_wait_ms=dynamic_batch_ms)
-        print_(f"serve: dynamic batching on (window {dynamic_batch_ms} ms)")
+        service = DynamicBatcher(service, max_wait_ms=dynamic_batch_ms,
+                                 pipeline_depth=pipeline_depth)
+        print_(f"serve: dynamic batching on (window {dynamic_batch_ms} ms, "
+               f"pipeline depth {pipeline_depth})")
     httpd = ThreadingHTTPServer((host, port), make_handler(service))
     print_(f"serve: listening on http://{host}:{httpd.server_address[1]} "
            f"(batch {service.batch_size}, {service.num_context} seed -> "
