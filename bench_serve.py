@@ -115,6 +115,86 @@ def run_concurrent_clients(args, base: str, httpd):
     }))
 
 
+def run_ab_depths(args, service):
+    """--ab_depths: alternate DynamicBatcher pipeline depths over one warmed
+    service (threads call batcher.predict directly — the HTTP layer is
+    common to both arms and only adds noise). Reports per-depth medians."""
+    import numpy as np
+
+    from textocvp_tpu.serve.batching import DynamicBatcher
+
+    service.warmup()
+
+    def one_round(depth: int):
+        batcher = DynamicBatcher(service, max_wait_ms=args.dynamic_batch_ms,
+                                 pipeline_depth=depth)
+        lat = []
+        n_req = args.clients * args.requests
+        interval = (args.open_loop_ms / args.clients / 1000
+                    if args.open_loop_ms else 0.0)
+
+        def fire(j: int, start: float):
+            if interval:
+                time.sleep(max(0.0, start + j * interval - time.perf_counter()))
+            frames = np.full((1, 1, 64, 64, 3), (j % 7) / 7.0, np.float32)
+            t0 = time.perf_counter()
+            out = batcher.predict(frames, ["the snitch is picked up"])
+            lat.append(time.perf_counter() - t0)
+            assert out.shape[0] == 1
+
+        def client(i: int, start: float):
+            for r in range(args.requests):
+                fire(i * args.requests + r, start)
+
+        try:
+            t0 = time.perf_counter()
+            if interval:  # open loop: every request is its own timed thread
+                threads = [threading.Thread(target=fire, args=(j, t0))
+                           for j in range(n_req)]
+            else:  # closed loop: each client fires its next on completion
+                threads = [threading.Thread(target=client, args=(i, t0))
+                           for i in range(args.clients)]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()
+            dt = time.perf_counter() - t0
+        finally:
+            batcher.close()
+        lat.sort()
+        return (n_req * args.num_preds / dt,
+                1000 * lat[len(lat) // 2], 1000 * lat[int(len(lat) * 0.95)],
+                batcher._dispatches)
+
+    rounds = {1: [], 2: []}
+    for r in range(args.ab_depths):
+        for depth in (1, 2) if r % 2 == 0 else (2, 1):  # order-balanced
+            rounds[depth].append(one_round(depth))
+            print(f"round {r} depth {depth}: "
+                  f"{rounds[depth][-1][0]:.1f} f/s  "
+                  f"p50 {rounds[depth][-1][1]:.0f} ms  "
+                  f"p95 {rounds[depth][-1][2]:.0f} ms  "
+                  f"({rounds[depth][-1][3]} dispatches)", file=sys.stderr)
+
+    med = lambda v: sorted(v)[len(v) // 2]  # noqa: E731
+    out = {}
+    for depth, rs in rounds.items():
+        out[f"depth{depth}"] = {
+            "fps_median": round(med([x[0] for x in rs]), 1),
+            "p50_ms_median": round(med([x[1] for x in rs]), 1),
+            "p95_ms_median": round(med([x[2] for x in rs]), 1),
+        }
+    print(json.dumps({
+        "metric": f"serve_depth_ab ({args.clients} concurrent 1-row "
+                  f"clients x {args.requests}, window "
+                  f"{args.dynamic_batch_ms} ms, {args.ab_depths} rounds "
+                  "per depth, batcher-level"
+                  + (f", open-loop {args.open_loop_ms} ms"
+                     if args.open_loop_ms else ", closed-loop") + ")",
+        **out, "batch": args.batch, "num_preds": args.num_preds,
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
@@ -133,6 +213,19 @@ def main():
     ap.add_argument("--pipeline_depth", type=int, default=2,
                     help="batcher dispatcher threads (2 = double-buffered "
                          "dispatch, 1 = serial as in round 3)")
+    ap.add_argument("--ab_depths", type=int, default=0, metavar="ROUNDS",
+                    help="A/B pipeline depth 1 vs 2 at the BATCHER level: "
+                         "one warmed service, ROUNDS alternating rounds per "
+                         "depth, median throughput/p50/p95 per depth. "
+                         "Removes the warmup/tunnel drift that makes "
+                         "separate-process runs incomparable")
+    ap.add_argument("--open_loop_ms", type=float, default=0,
+                    help="with --ab_depths: OPEN-loop arrivals — one 1-row "
+                         "request every open_loop_ms/clients ms regardless "
+                         "of completions (models independent clients; the "
+                         "closed-loop default is lockstep, where pipelined "
+                         "dispatch cannot engage because the queue is empty "
+                         "while a batch is in flight)")
     args = ap.parse_args()
 
     import numpy as np
@@ -155,6 +248,11 @@ def main():
         service = PredictionService(
             exp_path, "t5", decomp_ckpt="checkpoint_epoch_final",
             pred_ckpt="checkpoint_epoch_final", batch_size=args.batch)
+        if args.ab_depths:
+            if args.dynamic_batch_ms is None:
+                args.dynamic_batch_ms = 50.0
+            run_ab_depths(args, service)
+            return
         t0 = time.perf_counter()
         httpd = serve(service, host="127.0.0.1", port=0,  # warmup=compile
                       dynamic_batch_ms=args.dynamic_batch_ms,
