@@ -19,6 +19,154 @@ import sys
 import time
 
 
+def _stage_flops(exp_params, b, c, p):
+    """Analytic FLOPs (2x MACs, attention included, elementwise ignored) per
+    stage of the CLIPort eval step — the denominator for sustained-TFLOPS
+    accounting. Shapes from the experiment params, not hard-coded."""
+    mp = exp_params["model"]["model_params"]
+    dp = mp["decoder"]["decoder_params"]
+    img, s = mp["img_size"], mp["num_slots"]
+    patch, n_patches = dp["patch_size"], dp["num_patches"]
+    d_vit = mp["mlp_encoder_dim"]
+    depth = mp["encoder"]["encoder_params"].get("encoder_num_blocks", 12)
+    n_tok = n_patches + 1  # + cls
+
+    # ViT encode: qkv 3nd^2 + proj nd^2 + mlp 8nd^2 + attn 2n^2 d (macs/blk)
+    vit = depth * (12 * n_tok * d_vit ** 2 + 2 * n_tok ** 2 * d_vit)
+    vit += n_tok * (patch ** 2 * 3) * d_vit  # patch embed
+    vit_flops = 2 * vit * b * c
+
+    # rollout: TextOCVP token_dim/num_layers transformer over
+    # buffer*s slot tokens per step + text cross-attention; T5 encode once
+    pp = exp_params["predictor"]["predictor_params"]["predictor_params"]
+    d_tok, n_layers = pp["token_dim"], pp["num_layers"]
+    buf = exp_params["prediction_params"]["input_buffer_size"]
+    n_ctx = buf * s
+    m_text = 20  # caption tokens in this bench
+    per_step = n_layers * (12 * n_ctx * d_tok ** 2 + 2 * n_ctx ** 2 * d_tok
+                           + 2 * n_ctx * m_text * d_tok  # cross-attn scores+mix
+                           + 2 * n_ctx * d_tok ** 2)     # cross q/o proj
+    t5 = 6 * (12 * m_text * 512 ** 2 + 2 * m_text ** 2 * 512)  # t5-small enc
+    roll_flops = 2 * (per_step * p + t5) * b
+
+    # patch-MLP: per frame, s slots x P patches through the dense stack
+    h, out, n_mlp = dp["hidden_dim"], dp["out_dim"], dp["num_layers"]
+    d_in = dp["in_dim"]
+    per_ps = d_in * h + h * h * max(0, n_mlp - 2) + h * out
+    mlp_flops = 2 * per_ps * s * n_patches * b * p
+
+    # CNN head: 3x3 convs per the upsample plan + final RGB conv
+    g = int(n_patches ** 0.5)
+    hidden, cur, macs = h, g, 0
+    cin = out - 1
+    for i in range(dp["num_layers_cnn"]):
+        grow = ((i + 1) * 2 < patch) and (cur < img)
+        if i > 0 and grow:
+            hidden //= 2
+        macs += cur * cur * cin * hidden * 9
+        cin = hidden
+        if grow:
+            cur *= 2
+    macs += cur * cur * cin * 3 * 9
+    cnn_flops = 2 * macs * b * p
+    return {"vit_encode": vit_flops, "rollout": roll_flops,
+            "patch_mlp": mlp_flops, "cnn_head": cnn_flops}
+
+
+def run_breakdown(args, exp_params, model, predictor, tracker, model_vars,
+                  pred_vars, videos, tokens, attn_masks):
+    """--breakdown: per-stage programs + analytic sustained TFLOPS.
+
+    The patch-MLP is isolated by applying a features-only twin of the
+    decoder (same config, reconstruct_images=False) to the SAME params
+    minus the CNN-head subtree; the CNN-head time is (full decode) -
+    (patch-MLP) on identical inputs."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench_common import time_windows
+    from textocvp_tpu.nn.decoders import MLPPatchDecoder
+
+    c = exp_params["prediction_params"]["num_context"]
+    p = args.num_preds
+    mp = exp_params["model"]["model_params"]
+    s, d = mp["num_slots"], mp["slot_dim"]
+    b = args.batch_size
+    key = jax.random.PRNGKey(7)
+
+    enc = jax.jit(lambda mv, x, k: model.apply(
+        mv, x, decode=False, rngs={"slots": k})["slot_history"])
+    roll = jax.jit(lambda pv, sh, t, m: predictor.apply(
+        pv, sh, num_preds=p, teacher_force=False, caption_tokens=t,
+        attn_masks=m))
+    dec_full = jax.jit(lambda mv, sl: model.apply(
+        mv, sl, method="decode")["recons_imgs"])
+
+    dp = dict(mp["decoder"]["decoder_params"])
+    dp.update(reconstruct_images=False, img_size=mp["img_size"])
+    feats_only = MLPPatchDecoder(
+        **{k: v for k, v in dp.items() if k != "decoder_name"},
+        dtype=model.dtype if hasattr(model, "dtype") else jnp.float32)
+    dec_params = model_vars["params"]["patch_decoder"]
+    mlp_params = {k: v for k, v in dec_params.items()
+                  if not k.startswith("cnn")}
+    dec_mlp = jax.jit(lambda pv, sl: feats_only.apply(
+        {"params": pv}, sl)["recons_feats"])
+
+    metrics = jax.jit(lambda pi, tg: tracker.compute(pi, tg))
+
+    sh = enc(model_vars, videos[:, :c], key)
+    ps = roll(pred_vars, sh, tokens, attn_masks)
+    slots_flat = ps.reshape(b * p, s, d)
+    imgs = dec_full(model_vars, slots_flat)
+    targets = jnp.clip(videos[:, c:c + p], 0, 1)
+    pred_imgs = jnp.clip(imgs.reshape(targets.shape), 0, 1)
+
+    stages = [
+        ("vit_encode", lambda i: enc(model_vars, videos[:, :c],
+                                     jax.random.fold_in(key, i)),
+         lambda o: float(jnp.sum(o))),
+        ("rollout", lambda i: roll(pred_vars, sh, tokens, attn_masks),
+         lambda o: float(jnp.sum(o))),
+        ("patch_mlp", lambda i: dec_mlp(mlp_params, slots_flat),
+         lambda o: float(jnp.sum(o))),
+        ("decode_full", lambda i: dec_full(model_vars, slots_flat),
+         lambda o: float(jnp.sum(o))),
+        ("metrics", lambda i: metrics(pred_imgs, targets),
+         lambda o: float(jnp.sum(o["psnr"]) if isinstance(o, dict)
+                         else jnp.sum(o))),
+    ]
+    flops = _stage_flops(exp_params, b, c, p)
+    times = {}
+    for name, fn, sync in stages:
+        sync(fn(0))  # compile
+        best = time_windows(fn, sync, args.iters, windows=args.windows)
+        times[name] = 1000 * best / args.iters
+
+    times["cnn_head (derived)"] = times["decode_full"] - times["patch_mlp"]
+    flops["cnn_head (derived)"] = flops["cnn_head"]
+    flops["decode_full"] = flops["patch_mlp"] + flops["cnn_head"]
+    rows = {}
+    for name in ("vit_encode", "rollout", "patch_mlp", "cnn_head (derived)",
+                 "decode_full", "metrics"):
+        f = flops.get(name)
+        tf = (f / (times[name] / 1000) / 1e12) if f else None
+        rows[name] = {"ms": round(times[name], 2),
+                      "analytic_gflops": round(f / 1e9, 1) if f else None,
+                      "sustained_tflops": round(tf, 1) if tf else None}
+        print(f"{name:>20}: {times[name]:8.2f} ms"
+              + (f"  {f / 1e9:8.1f} GF  {tf:6.1f} TFLOPS" if f else ""),
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": f"dinosaur_eval_stage_breakdown (B={b}, p={p}, "
+                  f"{args.dtype})",
+        "stages": rows,
+        "unit": "ms/stage (separate programs; sums exceed the fused step)",
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch_size", type=int, default=16)
@@ -31,6 +179,13 @@ def main():
                     help="opt-in int8 patch-MLP + BN-folded CNN head "
                          "(changes outputs; docs/PERFORMANCE.md 'int8 "
                          "decode') — NOT the default headline")
+    ap.add_argument("--breakdown", action="store_true",
+                    help="time each stage as its OWN program (ViT encode / "
+                         "rollout / patch-MLP / +CNN head / metrics) with "
+                         "analytic FLOPs and sustained TFLOPS per stage. "
+                         "Stage sums exceed the fused end-to-end step "
+                         "(extra dispatch + HBM round trips between "
+                         "stages); use the default mode for the headline")
     args = ap.parse_args()
 
     import jax
@@ -82,6 +237,11 @@ def main():
         return predictor.apply(pv, out["slot_history"], num_preds=p,
                                teacher_force=False, caption_tokens=tokens,
                                attn_masks=attn_masks)
+
+    if args.breakdown:
+        run_breakdown(args, exp_params, model, predictor, tracker, model_vars,
+                      pred_vars, videos, tokens, attn_masks)
+        return
 
     quant_scales = None
     if args.decode_quant == "int8":

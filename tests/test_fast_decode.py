@@ -50,3 +50,68 @@ def test_savi_fast_decode_matches_naive():
                                np.asarray(out_s["recons_imgs"]), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out_f["masks"]),
                                np.asarray(out_s["masks"]), rtol=1e-5, atol=1e-5)
+
+
+# --------------------------------------------------------- subpixel upconv
+
+
+def test_subpixel_upconv_matches_upsample_then_conv():
+    """subpixel_upconv3x3 == conv3x3_same(upsample_nearest(x, 2)) exactly
+    (up to float reassociation), including the zero-padded borders."""
+    from flax import linen as nn
+
+    from textocvp_tpu.nn.blocks import upsample_nearest
+    from textocvp_tpu.nn.decoders import subpixel_upconv3x3
+
+    for h, w, cin, cout, seed in [(7, 7, 5, 4, 0), (12, 9, 16, 8, 1),
+                                  (24, 24, 32, 16, 2)]:
+        conv = nn.Conv(cout, (3, 3), padding=1)
+        x = jax.random.normal(jax.random.PRNGKey(seed), (2, h, w, cin))
+        v = conv.init(jax.random.PRNGKey(seed + 10), x)
+        ref = conv.apply(v, upsample_nearest(x, 2))
+        out = subpixel_upconv3x3(x, v["params"]["kernel"],
+                                 v["params"]["bias"], jnp.float32)
+        assert out.shape == ref.shape == (2, 2 * h, 2 * w, cout)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_mlp_patch_decoder_subpixel_equivalence():
+    """The full MLPPatchDecoder with subpixel_upconv: identical params,
+    identical outputs (feats/masks/images), identical BN-stat updates in
+    train mode, identical gradients."""
+    from textocvp_tpu.nn.decoders import MLPPatchDecoder
+
+    cfg = dict(num_patches=36, in_dim=8, hidden_dim=32, out_dim=17,
+               num_layers=3, initial_layer_norm=True, patch_size=14,
+               num_layers_cnn=4, reconstruct_images=True, img_size=84)
+    plain = MLPPatchDecoder(**cfg)
+    fast = MLPPatchDecoder(**cfg, subpixel_upconv=True)
+    slots = jax.random.normal(jax.random.PRNGKey(0), (3, 4, 8))
+    v = plain.init({"params": jax.random.PRNGKey(1)}, slots, train=False)
+
+    o1 = plain.apply(v, slots, train=False)
+    o2 = fast.apply(v, slots, train=False)
+    for k in ("recons_feats", "masks", "recons_imgs"):
+        np.testing.assert_allclose(np.asarray(o2[k]), np.asarray(o1[k]),
+                                   atol=2e-5, rtol=2e-5, err_msg=k)
+
+    o1t, m1 = plain.apply(v, slots, train=True, mutable=["batch_stats"])
+    o2t, m2 = fast.apply(v, slots, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(o2t["recons_imgs"]),
+                               np.asarray(o1t["recons_imgs"]),
+                               atol=2e-5, rtol=2e-5)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-5), m1, m2)
+
+    def loss(params, mod):
+        return jnp.sum(mod.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            slots, train=False)["recons_imgs"] ** 2)
+
+    g1 = jax.grad(loss)(v["params"], plain)
+    g2 = jax.grad(loss)(v["params"], fast)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-4, rtol=3e-4), g1, g2)

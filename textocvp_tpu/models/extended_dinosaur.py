@@ -38,6 +38,7 @@ class ExtendedDINOSAUR(nn.Module):
     decoder: dict = None
     transition_module: dict = None
     use_pallas: bool = False
+    subpixel_upconv: bool = False  # fold CNN-head x2 upsamples into convs
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -64,7 +65,11 @@ class ExtendedDINOSAUR(nn.Module):
         self.feat_proj_mlp = MLP([self.mlp_encoder_dim, self.slot_dim], dtype=self.dtype)
 
         dec_cfg = dict(self.decoder)
-        dec_cfg["decoder_params"] = {**dec_cfg.get("decoder_params", {}), "img_size": self.img_size}
+        dec_cfg["decoder_params"] = {
+            **dec_cfg.get("decoder_params", {}),
+            "img_size": self.img_size,
+            "subpixel_upconv": self.subpixel_upconv,
+        }
         self.patch_decoder = get_decoder(dec_cfg, dtype=self.dtype)
 
         self.slot_attention = SlotAttention(

@@ -87,6 +87,8 @@ def setup_model(exp_params: dict):
             decoder=model_params["decoder"],
             transition_module=model_params.get("transition_module"),
             use_pallas=use_pallas,
+            subpixel_upconv=bool((exp_params.get("tpu") or {}).get(
+                "subpixel_upconv", True)),
             dtype=dtype,
         )
     raise NameError(f"Model '{model_name}' not in {MODELS}")
