@@ -115,3 +115,40 @@ def test_mlp_patch_decoder_subpixel_equivalence():
     jax.tree_util.tree_map(
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-4, rtol=3e-4), g1, g2)
+
+
+def test_mlp_patch_decoder_fused_slot_mix_equivalence():
+    """fused_slot_mix: the final feature dense runs on slot-REDUCED rows
+    (linearity of the softmax mix; same trick as decode_broadcast) —
+    outputs and gradients must match the plain order, alone and composed
+    with subpixel_upconv."""
+    from textocvp_tpu.nn.decoders import MLPPatchDecoder
+
+    cfg = dict(num_patches=36, in_dim=8, hidden_dim=32, out_dim=17,
+               num_layers=3, initial_layer_norm=True, patch_size=14,
+               num_layers_cnn=4, reconstruct_images=True, img_size=84)
+    plain = MLPPatchDecoder(**cfg)
+    slots = jax.random.normal(jax.random.PRNGKey(0), (3, 4, 8))
+    v = plain.init({"params": jax.random.PRNGKey(1)}, slots, train=False)
+    o1 = plain.apply(v, slots, train=False)
+
+    for kw in ({"fused_slot_mix": True},
+               {"fused_slot_mix": True, "subpixel_upconv": True}):
+        mod = MLPPatchDecoder(**cfg, **kw)
+        o2 = mod.apply(v, slots, train=False)
+        for k in ("recons_feats", "masks", "recons_imgs"):
+            np.testing.assert_allclose(
+                np.asarray(o2[k]), np.asarray(o1[k]), atol=3e-5, rtol=3e-5,
+                err_msg=f"{kw}:{k}")
+
+    def loss(params, mod):
+        return jnp.sum(mod.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            slots, train=False)["recons_imgs"] ** 2)
+
+    both = MLPPatchDecoder(**cfg, fused_slot_mix=True, subpixel_upconv=True)
+    g1 = jax.grad(loss)(v["params"], plain)
+    g2 = jax.grad(loss)(v["params"], both)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=5e-4), g1, g2)

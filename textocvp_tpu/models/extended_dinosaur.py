@@ -39,6 +39,7 @@ class ExtendedDINOSAUR(nn.Module):
     transition_module: dict = None
     use_pallas: bool = False
     subpixel_upconv: bool = False  # fold CNN-head x2 upsamples into convs
+    fused_slot_mix: bool = False  # slot-reduce before the final patch dense
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -69,6 +70,7 @@ class ExtendedDINOSAUR(nn.Module):
             **dec_cfg.get("decoder_params", {}),
             "img_size": self.img_size,
             "subpixel_upconv": self.subpixel_upconv,
+            "fused_slot_mix": self.fused_slot_mix,
         }
         self.patch_decoder = get_decoder(dec_cfg, dtype=self.dtype)
 

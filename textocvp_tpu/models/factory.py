@@ -89,6 +89,8 @@ def setup_model(exp_params: dict):
             use_pallas=use_pallas,
             subpixel_upconv=bool((exp_params.get("tpu") or {}).get(
                 "subpixel_upconv", True)),
+            fused_slot_mix=bool((exp_params.get("tpu") or {}).get(
+                "fused_slot_mix", True)),
             dtype=dtype,
         )
     raise NameError(f"Model '{model_name}' not in {MODELS}")

@@ -380,6 +380,7 @@ class MLPPatchDecoder(nn.Module):
     img_size: Optional[int] = None
     num_layers_cnn: Optional[int] = None
     subpixel_upconv: bool = False  # fold x2 upsamples into the next conv
+    fused_slot_mix: bool = False  # slot-reduce BEFORE the final feature dense
     dtype: Any = jnp.float32
 
     @property
@@ -492,7 +493,9 @@ class MLPPatchDecoder(nn.Module):
 
         if self.initial_layer_norm:
             x = self.initial_ln(x)
-        for i, dense in enumerate(self.mlps):
+        fused = (self.fused_slot_mix and not quant and not calibrate
+                 and not self.is_initializing())
+        for i, dense in enumerate(self.mlps[:-1] if fused else self.mlps):
             if calibrate:
                 amaxes.append(jnp.max(jnp.abs(x.astype(jnp.float32))))
             if quant:
@@ -504,9 +507,26 @@ class MLPPatchDecoder(nn.Module):
                 x = nn.relu(x)
         x = x.astype(self.dtype)
 
-        feats, alpha = x[..., :-1], x[..., -1:]
-        alpha = jax.nn.softmax(alpha.astype(jnp.float32), axis=1).astype(x.dtype)
-        recons_feats = jnp.sum(feats * alpha, axis=1)  # (B, P, out_dim-1)
+        if fused:
+            # The slot mix is linear in the final dense's FEATURE columns:
+            # sum_s a_s (W_f h_s + b_f) = W_f (sum_s a_s h_s) + b_f (softmax
+            # weights sum to 1), and the alpha column is one cheap (h -> 1)
+            # dense — so the (out_dim-1)-wide dense runs on the SLOT-REDUCED
+            # rows (num_slots x fewer) and the per-slot feature tensor never
+            # exists. Same linearity trick as ConvDecoder.decode_broadcast.
+            pl = self.mlps[-1].variables["params"]
+            k = pl["kernel"].astype(self.dtype)
+            bias = pl["bias"].astype(self.dtype)
+            alpha = x @ k[:, -1:] + bias[-1]  # (B, S, P, 1)
+            alpha = jax.nn.softmax(
+                alpha.astype(jnp.float32), axis=1).astype(x.dtype)
+            h_mix = jnp.sum(x * alpha, axis=1)  # (B, P, hidden)
+            recons_feats = h_mix @ k[:, :-1] + bias[:-1]  # (B, P, out_dim-1)
+        else:
+            feats, alpha = x[..., :-1], x[..., -1:]
+            alpha = jax.nn.softmax(
+                alpha.astype(jnp.float32), axis=1).astype(x.dtype)
+            recons_feats = jnp.sum(feats * alpha, axis=1)  # (B, P, out_dim-1)
         gh, gw = self.patch_grid
         masks = alpha.reshape(b, s, 1, gh, gw)
 
@@ -598,5 +618,6 @@ def get_decoder(decoder: dict, dtype=jnp.float32) -> nn.Module:
         img_size=params.get("img_size"),
         num_layers_cnn=params.get("num_layers_cnn"),
         subpixel_upconv=bool(params.get("subpixel_upconv", False)),
+        fused_slot_mix=bool(params.get("fused_slot_mix", False)),
         dtype=dtype,
     )
