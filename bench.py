@@ -39,12 +39,18 @@ os.environ.setdefault(
 
 REF_GPU_FPS = 250.0  # estimated reference GPU predicted-frames/sec/chip
 
-# Measured on identical CPU silicon with identical weights: reference torch
-# modules 0.8 fps vs this repo 10.7 fps, batch 4, 19-pred rollout
+# Measured on identical CPU silicon with identical weights (1-core CPU,
+# JAX_PLATFORMS hard-forced to cpu): reference torch 47.7-52.2 s/step vs this
+# repo 30.3-31.9 s/step, batch 4, 19-pred rollout => 1.5-1.7x
 # (scripts/ground_baseline.py; BASELINE.md "Grounding the relative-throughput
-# claim"). This is the defensible hardware-held-constant ratio; REF_GPU_FPS
-# remains an estimate until GPU hardware + released ckpts exist.
-MEASURED_CPU_SPEEDUP = 13.9
+# claim"). Round 2/3 reported 13.9x here; that run predates the force-cpu fix
+# and is RETRACTED as contaminated — this machine's profile exports
+# JAX_PLATFORMS=axon, so `setdefault("JAX_PLATFORMS", "cpu")` was a no-op and
+# the jax leg did not verifiably run on the CPU. The conservative reproducible
+# same-silicon ratio is reported instead; REF_GPU_FPS remains an estimate
+# until GPU hardware + released ckpts exist.
+MEASURED_CPU_SPEEDUP = 1.5
+MEASURED_CPU_SPEEDUP_CLIPORT = 1.44  # --protocol cliport, same procedure
 
 
 def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pallas: bool,

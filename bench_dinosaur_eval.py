@@ -287,6 +287,9 @@ def main():
                   f"336px, {args.dtype}{suffix})",
         "value": round(fps, 2), "unit": "frames/s/chip",
         "step_ms": round(1000 * best / args.iters, 2),
+        # scripts/ground_baseline.py --protocol cliport: same-silicon
+        # (1-core CPU, identical weights) ratio vs the real reference chain.
+        "vs_baseline_measured_cpu_same_silicon": 1.44,
     }))
 
 
