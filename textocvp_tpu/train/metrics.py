@@ -82,11 +82,14 @@ def ssim(
 
     c1 = (k1 * value_range) ** 2
     c2 = (k2 * value_range) ** 2
-    mu_x = _filter2d_valid(x, kernel)
-    mu_y = _filter2d_valid(y, kernel)
-    mu_xx = _filter2d_valid(x * x, kernel)
-    mu_yy = _filter2d_valid(y * y, kernel)
-    mu_xy = _filter2d_valid(x * y, kernel)
+    # One 5C-group blur over [x, y, x^2, y^2, xy] stacked on the channel
+    # axis instead of five separate blurs: same taps per channel (grouped
+    # conv), a fifth of the conv dispatches and a wider innermost tile.
+    z = jnp.concatenate([x, y, x * x, y * y, x * y], axis=-1)
+    mu = _filter2d_valid(z, kernel)
+    c = x.shape[-1]
+    mu_x, mu_y, mu_xx, mu_yy, mu_xy = (
+        mu[..., i * c:(i + 1) * c] for i in range(5))
 
     var_x = mu_xx - mu_x ** 2
     var_y = mu_yy - mu_y ** 2
@@ -182,6 +185,10 @@ def make_lpips_fn(weights: Optional[dict] = None) -> Callable[[jax.Array, jax.Ar
         # [0,1] -> [-1,1] -> scaling layer
         x = (2 * x - 1 - _LPIPS_SHIFT) / _LPIPS_SCALE
         y = (2 * y - 1 - _LPIPS_SHIFT) / _LPIPS_SCALE
+        # Two half-batch AlexNet passes, NOT one concatenated pass: the A/B
+        # (bench_metrics_probe.py) measured the batched variant neutral to
+        # slightly worse — the concat materializes an extra 2x190 MB HBM
+        # copy and the convs were already MXU-tiled at half batch.
         fx = _alexnet_features(x, weights)
         fy = _alexnet_features(y, weights)
         total = 0.0
