@@ -29,6 +29,56 @@ import numpy as np
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 
+# Attention implementation switch for ViTBlock. The Pallas TPU flash kernel
+# keeps score tiles in VMEM (the XLA path round-trips B*h*n^2 score matrices
+# through HBM), but at the production shape (seq 577, head 64, B*h=192) it
+# measured NO win — 78 ms default blocks / 52 ms full-row blocks vs 52 ms
+# XLA (bench_vit_attention.py; docs/PERFORMANCE.md "ViT flash-attention
+# probe") — so "auto" resolves to the XLA einsum path everywhere. The flash
+# arms stay selectable for the probe and the interpret-mode equivalence
+# tests (tests/test_vit_flash_attention.py).
+_ATTENTION_IMPL = "auto"  # "auto" | "xla" | "flash" | "flash_tuned"
+
+
+def _attention(q, k, v, scale: float, dtype):
+    """Multi-head attention core; q, k, v are (b, h, n, dh)."""
+    impl = _ATTENTION_IMPL
+    if impl == "auto":
+        impl = "xla"  # flash measured neutral-to-worse at this regime
+    if impl in ("flash", "flash_tuned"):
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            SegmentIds,
+            flash_attention,
+        )
+
+        b, h, n, dh = q.shape
+        n_pad = -n % 128  # lane-align the token axis for the kernel
+        if n_pad:
+            pad = [(0, 0), (0, 0), (0, n_pad), (0, 0)]
+            q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+            # pad tokens get their own segment -> the softmax for real
+            # queries runs over exactly the real n keys, as unpadded
+            seg = jnp.concatenate(
+                [jnp.ones((b, n), jnp.int32), jnp.full((b, n_pad), 2, jnp.int32)],
+                axis=1,
+            )
+            ids = SegmentIds(q=seg, kv=seg)
+        else:
+            ids = None
+        kwargs = {}
+        if impl == "flash_tuned":
+            np_ = q.shape[2]  # padded token count
+            kwargs["block_sizes"] = BlockSizes(
+                block_q=np_, block_k_major=np_, block_k=np_, block_b=1)
+        out = flash_attention(q, k, v, segment_ids=ids, causal=False,
+                              sm_scale=scale, **kwargs)
+        return out[:, :, :n].astype(dtype)
+    attn = jax.nn.softmax(
+        (jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale).astype(jnp.float32), axis=-1
+    ).astype(dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+
 VIT_CONFIGS = {
     "vit_small_patch16_224_dino": dict(patch_size=16, embed_dim=384, depth=12, num_heads=6),
     "vit_small_patch8_224_dino": dict(patch_size=8, embed_dim=384, depth=12, num_heads=6),
@@ -70,10 +120,8 @@ class ViTBlock(nn.Module):
         q = q.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
         k = k.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
         v = v.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
-        attn = jax.nn.softmax(
-            (jnp.einsum("bhqd,bhkd->bhqk", q, k) * dh ** -0.5).astype(jnp.float32), axis=-1
-        ).astype(self.dtype)
-        y = jnp.einsum("bhqk,bhkd->bhqd", attn, v).transpose(0, 2, 1, 3).reshape(b, n, d)
+        y = _attention(q, k, v, dh ** -0.5, self.dtype)
+        y = y.transpose(0, 2, 1, 3).reshape(b, n, d)
         y = nn.Dense(d, dtype=self.dtype, name="proj")(y)
         x = x + layerscale("ls1_gamma", y)
 
