@@ -179,6 +179,9 @@ def main():
                     help="opt-in int8 patch-MLP + BN-folded CNN head "
                          "(changes outputs; docs/PERFORMANCE.md 'int8 "
                          "decode') — NOT the default headline")
+    ap.add_argument("--encode_quant", default=None, choices=["int8"],
+                    help="opt-in int8 frozen-ViT denses (tpu.encode_quant; "
+                         "changes outputs) — NOT the default headline")
     ap.add_argument("--breakdown", action="store_true",
                     help="time each stage as its OWN program (ViT encode / "
                          "rollout / patch-MLP / +CNN head / metrics) with "
@@ -229,11 +232,23 @@ def main():
     )({"params": jax.random.PRNGKey(3)}, slot_sample, tokens[:1], attn_masks[:1])
     print(f"build+init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
+    encode_scales = None
+    if args.encode_quant == "int8":
+        from textocvp_tpu.models.quant import calibrate_encode_scales
+
+        encode_scales = jnp.asarray(calibrate_encode_scales(
+            model, model_vars, videos[:1, :c]))
+        print(f"int8 encode scales: (depth, 4) "
+              f"max={float(encode_scales.max()):.3g}", file=sys.stderr)
+
     # the evaluator's two-stage structure; ViT-scale weights stay ARGUMENTS
     # (oversized jit constants are rejected by the remote compile service)
     @jax.jit
     def predict_stage(mv, pv, videos, tokens, attn_masks, key):
-        out = model.apply(mv, videos[:, :c], decode=False, rngs={"slots": key})
+        ekw = {} if encode_scales is None else {
+            "encode_quant_scales": encode_scales}
+        out = model.apply(mv, videos[:, :c], decode=False,
+                          rngs={"slots": key}, **ekw)
         return predictor.apply(pv, out["slot_history"], num_preds=p,
                                teacher_force=False, caption_tokens=tokens,
                                attn_masks=attn_masks)
@@ -281,6 +296,8 @@ def main():
     n_chips = jax.local_device_count()
     fps = b * p * args.iters / best / n_chips
     suffix = f", decode_quant={args.decode_quant}" if args.decode_quant else ""
+    if args.encode_quant:
+        suffix += f", encode_quant={args.encode_quant}"
     print(json.dumps({
         "metric": f"dinosaur_eval_pred_frames_per_sec_per_chip "
                   f"(CLIPort ExtendedDINOSAUR+TextOCVP_T5, B={b}, p={p}, "

@@ -321,6 +321,30 @@ def test_seq_parallel_with_tp_sharded_decoder(dinosaur_served_exp):
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+def test_encode_quant_rejected_in_serving(dinosaur_served_exp):
+    """tpu.encode_quant is an evaluator knob; serving must fail fast (the
+    lazy calibration wrapper would break AOT export's direct
+    _predict_stage serialization) rather than silently serve unquantized."""
+    import json
+
+    from textocvp_tpu.serve import PredictionService
+
+    cfg_path = (dinosaur_served_exp / "predictors" / "tiny_tf"
+                / "experiment_params.json")
+    cfg = json.loads(cfg_path.read_text())
+    cfg.setdefault("tpu", {})["encode_quant"] = "int8"
+    cfg_path.write_text(json.dumps(cfg))
+    try:
+        with pytest.raises(ValueError, match="not supported in serving"):
+            PredictionService(dinosaur_served_exp, "tiny_tf",
+                              decomp_ckpt="checkpoint_epoch_final",
+                              pred_ckpt="checkpoint_epoch_final",
+                              batch_size=1, max_tokens=8)
+    finally:
+        del cfg["tpu"]["encode_quant"]
+        cfg_path.write_text(json.dumps(cfg))
+
+
 def test_warmup_uses_in_vocab_caption(service):
     """serve()'s default warmup must work with closed-vocab tokenizers
     (regression: the literal caption 'warmup' is OOV for every CustomTokenizer

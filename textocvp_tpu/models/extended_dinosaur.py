@@ -108,10 +108,22 @@ class ExtendedDINOSAUR(nn.Module):
         (models/quant.py::calibrate_decode_scales does this)."""
         return self.patch_decoder(slots, calibrate=True)
 
+    def encode_calibrate(self, x):
+        """Per-dense ViT input amaxes (depth, 4) for int8 ENCODE calibration
+        (``tpu.encode_quant``). ``x`` is a video (B, T, H, W, C); one compute-
+        dtype ViT pass over the flattened frames, amaxes of every block's
+        qkv/proj/fc1/fc2 inputs. Divide by 127 for
+        :meth:`decompose`'s ``encode_quant_scales``
+        (models/quant.py::calibrate_encode_scales does this)."""
+        frames = x.reshape((-1,) + x.shape[2:])
+        _, amaxes = self.image_encoder(frames, train=False, calibrate=True)
+        return amaxes
+
     # ------------------------------------------------------------------ decomp
     def decompose(self, x, decode: bool = True, train: bool = False,
                   tail_chunks: int = 1, tail_remat: bool = False,
-                  tail_unroll=None, quant_scales=None):
+                  tail_unroll=None, quant_scales=None,
+                  encode_quant_scales=None):
         """
         Video (B, T, H, W, C) in [0,1] -> slots + reconstructions.
 
@@ -123,7 +135,10 @@ class ExtendedDINOSAUR(nn.Module):
         """
         b, t = x.shape[:2]
         frames = x.reshape((b * t,) + x.shape[2:])
-        img_feats = jax.lax.stop_gradient(self.image_encoder(frames, train=False))
+        ekw = {} if encode_quant_scales is None else {
+            "quant_scales": encode_quant_scales}
+        img_feats = jax.lax.stop_gradient(
+            self.image_encoder(frames, train=False, **ekw))
         proj = self.feat_proj_mlp(self.feat_proj_ln(img_feats))  # (B*T, P, slot_dim)
         k, v = self.slot_attention.project_inputs(proj)
         k = k.reshape(b, t, *k.shape[1:])
@@ -160,7 +175,9 @@ class ExtendedDINOSAUR(nn.Module):
 
     def __call__(self, x, decode: bool = True, train: bool = False,
                  tail_chunks: int = 1, tail_remat: bool = False,
-                 tail_unroll=None, quant_scales=None):
+                 tail_unroll=None, quant_scales=None,
+                 encode_quant_scales=None):
         return self.decompose(x, decode=decode, train=train,
                               tail_chunks=tail_chunks, tail_remat=tail_remat,
-                              tail_unroll=tail_unroll, quant_scales=quant_scales)
+                              tail_unroll=tail_unroll, quant_scales=quant_scales,
+                              encode_quant_scales=encode_quant_scales)

@@ -54,6 +54,38 @@ def decode_quant_mode(exp_params: dict) -> Optional[str]:
     return mode
 
 
+def encode_quant_mode(exp_params: dict) -> Optional[str]:
+    """Validated ``tpu.encode_quant`` (None = off, the default).
+
+    int8 for the FROZEN ViT encoder's denses (qkv/proj/fc1/fc2 per block;
+    nn/vit.py::_dense_int8). ExtendedDINOSAUR only — SAVi's conv encoder is
+    a sliver of its step and 128 channels wide (int8 would not pay)."""
+    mode = (exp_params.get("tpu") or {}).get("encode_quant")
+    if mode not in VALID:
+        raise ValueError(
+            f"tpu.encode_quant must be one of {VALID}, got {mode!r}")
+    model_name = (exp_params.get("model") or {}).get("model_name")
+    if mode is not None and model_name != "ExtendedDINOSAUR":
+        raise ValueError(
+            "tpu.encode_quant quantizes the frozen ViT encoder and is only "
+            f"supported for ExtendedDINOSAUR; this experiment uses "
+            f"{model_name!r}. Unset tpu.encode_quant.")
+    return mode
+
+
+def calibrate_encode_scales(decomp_model, decomp_vars, videos) -> np.ndarray:
+    """Per-block per-dense activation scales (depth, 4) for the int8 ViT
+    encode: one compute-dtype ViT pass over ``videos`` (B, T, H, W, C),
+    amax of every dense input mapped to the int8 grid."""
+    amaxes = jax.jit(lambda v, x: decomp_model.apply(
+        v, x, method="encode_calibrate"))(decomp_vars, videos)
+    scales = np.maximum(np.asarray(amaxes, np.float32), 1e-12) / 127.0
+    if not np.all(np.isfinite(scales)):
+        raise ValueError(
+            f"int8 encode calibration produced non-finite scales: {scales}")
+    return scales
+
+
 def lazy_quantized_stage(build_stage, slots_of, decomp_model, decomp_vars,
                          on_scales=None, log=print):
     """First call calibrates on that call's inputs, builds the quantized
@@ -81,6 +113,41 @@ def lazy_quantized_stage(build_stage, slots_of, decomp_model, decomp_vars,
         return holder["stage"](*args)
 
     stage.inner = lambda: holder.get("stage")
+    return stage
+
+
+def lazy_encode_quantized_stage(build_stage, videos_of, decomp_model,
+                                decomp_vars, on_scales=None, log=print):
+    """Encode-side sibling of :func:`lazy_quantized_stage`: first call
+    calibrates the (depth, 4) ViT activation scales on that call's seed
+    frames, builds the int8-encode stage, and reuses it from then on.
+
+    ``build_stage(encode_scales)`` -> the stage callable (which may itself be
+    a decode-lazy wrapper — compose encode OUTSIDE decode so one first call
+    calibrates both); ``videos_of(*args, **kwargs)`` -> the (B, T, H, W, C)
+    calibration frames for the first call's arguments. Note the decode
+    calibration then sees compute-dtype (not int8-encoded) slots — the
+    standard PTQ approximation, same class as calibrating on batch 1 only."""
+    import jax.numpy as jnp
+
+    holder = {}
+
+    def stage(*args, **kwargs):
+        if "stage" not in holder:
+            scales = calibrate_encode_scales(decomp_model, decomp_vars,
+                                             videos_of(*args, **kwargs))
+            if on_scales is not None:
+                on_scales(scales)
+            log(f"int8 encode calibration: (depth, 4) scales, "
+                f"max={scales.max():.4g} min={scales.min():.4g}")
+            holder["stage"] = build_stage(jnp.asarray(scales))
+        return holder["stage"](*args, **kwargs)
+
+    def _inner():
+        s = holder.get("stage")
+        return s.inner() if hasattr(s, "inner") else s
+
+    stage.inner = _inner
     return stage
 
 

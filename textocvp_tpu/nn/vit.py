@@ -93,6 +93,27 @@ VIT_CONFIGS = {
 }
 
 
+def _dense_int8(x, kernel, bias, a_scale, out_dtype):
+    """int8 x int8 -> int32 dense with a STATIC per-tensor activation scale
+    and per-output-channel weight scales, dequantized to f32 (+bias).
+
+    Same contract as decoders.ConvDecoder._quantize_conv: the weight
+    quantization lives inside the traced program (const-folded when weights
+    are baked; one cheap pass otherwise), the activation quantize is
+    elementwise with a static scale so XLA fuses it into the producer's
+    epilogue and the intermediate hits HBM as int8."""
+    w = kernel.astype(jnp.float32)
+    w_scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-30) / 127.0
+    w_q = jnp.round(w / w_scale).astype(jnp.int8)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / a_scale),
+                   -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x_q, w_q, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (a_scale * w_scale)
+            + bias.astype(jnp.float32)).astype(out_dtype)
+
+
 class ViTBlock(nn.Module):
     embed_dim: int
     num_heads: int
@@ -100,11 +121,31 @@ class ViTBlock(nn.Module):
     layerscale_init: Optional[float] = None
     dtype: Any = jnp.float32
 
+    #: dense submodule names, in execution order — the per-block
+    #: ``quant_scales``/calibration amax vectors index this order
+    DENSES = ("qkv", "proj", "fc1", "fc2")
+
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, quant_scales=None, calibrate: bool = False):
+        """``quant_scales`` — a (4,) f32 vector of static activation scales
+        (one per dense, :data:`DENSES` order) switching the block's matmuls
+        to the int8 MXU path (opt-in via ``tpu.encode_quant``). ``calibrate``
+        returns ``(x, amaxes(4,))`` — the bf16 forward plus the per-dense
+        input amaxes whose /127 are those scales."""
         d = self.embed_dim
         h = self.num_heads
         dh = d // h
+        amaxes = []
+
+        def dense(name, features, y, idx):
+            mod = nn.Dense(features, dtype=self.dtype, name=name)
+            if calibrate:
+                amaxes.append(jnp.max(jnp.abs(y.astype(jnp.float32))))
+            if quant_scales is None or self.is_initializing():
+                return mod(y)
+            p = self.variables["params"][name]
+            return _dense_int8(y, p["kernel"], p["bias"], quant_scales[idx],
+                               self.dtype)
 
         def layerscale(name, y):
             if self.layerscale_init is None:
@@ -114,7 +155,7 @@ class ViTBlock(nn.Module):
 
         # attention (timm Block: qkv with bias, proj with bias, pre-norm)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(y)
+        qkv = dense("qkv", 3 * d, y, 0)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         b, n = q.shape[:2]
         q = q.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
@@ -122,15 +163,17 @@ class ViTBlock(nn.Module):
         v = v.reshape(b, n, h, dh).transpose(0, 2, 1, 3)
         y = _attention(q, k, v, dh ** -0.5, self.dtype)
         y = y.transpose(0, 2, 1, 3).reshape(b, n, d)
-        y = nn.Dense(d, dtype=self.dtype, name="proj")(y)
+        y = dense("proj", d, y, 1)
         x = x + layerscale("ls1_gamma", y)
 
         # MLP
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        y = nn.Dense(int(d * self.mlp_ratio), dtype=self.dtype, name="fc1")(y)
+        y = dense("fc1", int(d * self.mlp_ratio), y, 2)
         y = nn.gelu(y, approximate=False)
-        y = nn.Dense(d, dtype=self.dtype, name="fc2")(y)
+        y = dense("fc2", d, y, 3)
         x = x + layerscale("ls2_gamma", y)
+        if calibrate:
+            return x, jnp.stack(amaxes)
         return x
 
 
@@ -156,7 +199,12 @@ class ViTEncoder(nn.Module):
         return self.grid_size ** 2
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, quant_scales=None,
+                 calibrate: bool = False):
+        """``quant_scales`` — (depth, 4) static activation scales switching
+        every block's denses to int8 (``tpu.encode_quant``; the patch-embed
+        conv and attention einsums stay in the compute dtype). ``calibrate``
+        returns ``(features, amaxes(depth, 4))`` instead of features."""
         mean = jnp.asarray(IMAGENET_MEAN, self.dtype)
         std = mean if self.timm_norm_quirk else jnp.asarray((0.229, 0.224, 0.225), self.dtype)
         x = (x - mean) / std
@@ -182,6 +230,7 @@ class ViTEncoder(nn.Module):
         x = jnp.concatenate([jnp.broadcast_to(cls_token, (b, 1, self.embed_dim)).astype(x.dtype), x], axis=1)
         x = x + jnp.asarray(pos_embed, self.dtype)
 
+        amaxes = []
         for i in range(self.depth):
             x = ViTBlock(
                 embed_dim=self.embed_dim,
@@ -190,8 +239,15 @@ class ViTEncoder(nn.Module):
                 layerscale_init=self.layerscale_init,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(x)
-        return x[:, 1:]  # strip class token; no final norm (matches reference)
+            )(x, quant_scales=None if quant_scales is None else quant_scales[i],
+              calibrate=calibrate)
+            if calibrate:
+                x, block_amaxes = x
+                amaxes.append(block_amaxes)
+        out = x[:, 1:]  # strip class token; no final norm (matches reference)
+        if calibrate:
+            return out, jnp.stack(amaxes)
+        return out
 
 
 def interpolate_pos_embed(pos_embed: np.ndarray, new_grid: int) -> np.ndarray:

@@ -467,6 +467,18 @@ class PredictionService(InferenceFrontend):
                 return autotuned_stage(mk, schedules_of, sync, log=print_)
             return mk()
 
+        from textocvp_tpu.models.quant import encode_quant_mode
+
+        if encode_quant_mode(self.exp_params):
+            # the int8 frozen-ViT encode is an EVALUATOR knob: serving's
+            # predict stage must stay a bare jitted function (AOT export
+            # serializes service._predict_stage directly, serve/export.py),
+            # which the lazy calibration wrapper would break. Fail fast
+            # rather than silently serve unquantized.
+            raise ValueError(
+                "tpu.encode_quant is not supported in serving/export — it is "
+                "an evaluator-side knob (03/05). Unset tpu.encode_quant for "
+                "this experiment when serving.")
         self._quant_mode = decode_quant_mode(self.exp_params)
         if self._quant_mode:
             # int8 decoder tail (tpu.decode_quant): calibrate activation

@@ -142,7 +142,7 @@ class DecompEvaluator:
         n_slots = self.exp_params["model"]["model_params"]["num_slots"]
 
         def _eval(variables, videos, rng, tail_chunks=None, tail_unroll=None,
-                  quant_scales=None):
+                  quant_scales=None, encode_scales=None):
             b, t = videos.shape[:2]
             # scan-chunked decoder tail on large recon batches (exact;
             # docs/PERFORMANCE.md "decode chunking"). ExtendedDINOSAUR
@@ -152,6 +152,8 @@ class DecompEvaluator:
                     decode_chunks_cfg, b * t, n_slots,
                     quant=quant_scales is not None)
             qkw = {} if quant_scales is None else {"quant_scales": quant_scales}
+            if encode_scales is not None:  # int8 frozen-ViT encode (opt-in)
+                qkw["encode_quant_scales"] = encode_scales
             out = model.apply(
                 variables, videos, rngs={"slots": rng},
                 tail_chunks=tail_chunks, tail_unroll=tail_unroll, **qkw)
@@ -173,24 +175,28 @@ class DecompEvaluator:
         bake = should_bake_constants(self.variables)
         variables = self.variables
 
-        def make_step(tail_chunks=None, tail_unroll=None, quant_scales=None):
+        def make_step(tail_chunks=None, tail_unroll=None, quant_scales=None,
+                      encode_scales=None):
             if bake:
                 return jax.jit(partial(_eval, variables, tail_chunks=tail_chunks,
                                        tail_unroll=tail_unroll,
-                                       quant_scales=quant_scales))
+                                       quant_scales=quant_scales,
+                                       encode_scales=encode_scales))
             _j = jax.jit(partial(_eval, tail_chunks=tail_chunks,
                                  tail_unroll=tail_unroll,
-                                 quant_scales=quant_scales))
+                                 quant_scales=quant_scales,
+                                 encode_scales=encode_scales))
             return lambda videos, rng: _j(variables, videos, rng)
 
         # opt-in runtime autotune of the decode schedule: measures the
         # candidate (chunks, unroll) pairs on the first batch and reuses the
         # winner (models/autotune.py)
         from textocvp_tpu.models.autotune import autotune_enabled, autotuned_stage
-        from textocvp_tpu.models.quant import decode_quant_mode
+        from textocvp_tpu.models.quant import decode_quant_mode, encode_quant_mode
 
-        def build_stage(quant_scales=None):
-            mk = partial(make_step, quant_scales=quant_scales)
+        def build_stage(quant_scales=None, encode_scales=None):
+            mk = partial(make_step, quant_scales=quant_scales,
+                         encode_scales=encode_scales)
             if autotune_enabled(self.exp_params):
                 from textocvp_tpu.models.chunked import decode_candidate_schedules
 
@@ -207,12 +213,17 @@ class DecompEvaluator:
             return mk()
 
         self._quant_mode = decode_quant_mode(self.exp_params)
-        if self._quant_mode:
+        self._encode_quant_mode = encode_quant_mode(self.exp_params)
+
+        def build_with_decode_quant(encode_scales=None):
             # int8 decoder tail: calibrate activation scales on the FIRST
             # batch's slots (one extra encode + bf16 tail pass), bake them,
             # and use the quantized stage for every batch incl. this one —
             # so all reported metrics come from the same program
             # (models/quant.py; results.json carries a decode_quant flag)
+            bs = partial(build_stage, encode_scales=encode_scales)
+            if not self._quant_mode:
+                return bs()
             from textocvp_tpu.models.quant import lazy_quantized_stage
 
             def slots_of(videos, rng):
@@ -222,12 +233,24 @@ class DecompEvaluator:
                 )(variables, videos, rng)
                 return slots.reshape(-1, *slots.shape[-2:])
 
-            self.eval_step = lazy_quantized_stage(
-                build_stage, slots_of, model, variables,
+            return lazy_quantized_stage(
+                bs, slots_of, model, variables,
                 on_scales=lambda s: setattr(self, "decode_quant_scales", s),
                 log=print_)
+
+        if self._encode_quant_mode:
+            # int8 frozen-ViT encode (tpu.encode_quant): calibrated the same
+            # lazy way on the first batch's frames; composes OUTSIDE the
+            # decode-quant wrapper so one first call calibrates both
+            from textocvp_tpu.models.quant import lazy_encode_quantized_stage
+
+            self.eval_step = lazy_encode_quantized_stage(
+                build_with_decode_quant, lambda videos, rng: videos,
+                model, variables,
+                on_scales=lambda s: setattr(self, "encode_quant_scales", s),
+                log=print_)
         else:
-            self.eval_step = build_stage()
+            self.eval_step = build_with_decode_quant()
 
     def evaluate(self) -> dict:
         """Set TEXTOCVP_PROFILE=<dir> to capture a jax.profiler trace of the
@@ -267,6 +290,9 @@ class DecompEvaluator:
         if getattr(self, "_quant_mode", None):
             # honesty flag: these metrics come from a quantized decoder
             results["decode_quant"] = self._quant_mode
+        if getattr(self, "_encode_quant_mode", None):
+            # honesty flag: these metrics come from a quantized ViT encoder
+            results["encode_quant"] = self._encode_quant_mode
         if is_process_zero():  # one results.json / plot set per experiment
             self.exp.save_results(self.results_name, results)
             _save_framewise_plots(self.exp, self.results_name, results, start_x=0)
@@ -401,10 +427,15 @@ class PredictorEvaluator:
 
         decode_chunks_cfg = (self.exp_params.get("tpu") or {}).get("decode_chunks")
 
-        def _predict(dv, pred_params, videos, rng, **text_kwargs):
-            """Seed-encode + rollout -> predicted slots."""
+        def _predict(dv, pred_params, videos, rng, encode_scales=None,
+                     **text_kwargs):
+            """Seed-encode + rollout -> predicted slots. ``encode_scales``
+            switches the frozen-ViT denses to int8 (tpu.encode_quant)."""
             seed = videos[:, :c]
-            out = decomp_model.apply(dv, seed, decode=False, rngs={"slots": rng})
+            ekw = {} if encode_scales is None else {
+                "encode_quant_scales": encode_scales}
+            out = decomp_model.apply(dv, seed, decode=False,
+                                     rngs={"slots": rng}, **ekw)
             return predictor.apply(
                 {"params": pred_params}, out["slot_history"], num_preds=p,
                 teacher_force=False, **text_kwargs,
@@ -452,13 +483,34 @@ class PredictorEvaluator:
                                   quant_scales=quant_scales))
             return lambda pred_slots, videos: _dj(decomp_vars, pred_slots, videos)
 
-        if bake:
-            predict_stage = jax.jit(partial(_predict, decomp_vars))
-        else:
-            _pj = jax.jit(_predict)
+        def make_predict_stage(encode_scales=None):
+            if bake:
+                return jax.jit(partial(_predict, decomp_vars,
+                                       encode_scales=encode_scales))
+            _pj = jax.jit(partial(_predict, encode_scales=encode_scales))
 
-            def predict_stage(pred_params, videos, rng, **text_kwargs):
+            def stage(pred_params, videos, rng, **text_kwargs):
                 return _pj(decomp_vars, pred_params, videos, rng, **text_kwargs)
+
+            return stage
+
+        from textocvp_tpu.models.quant import encode_quant_mode
+
+        self._encode_quant_mode = encode_quant_mode(self.exp_params)
+        if self._encode_quant_mode:
+            # int8 frozen-ViT seed encode: lazily calibrated on the first
+            # batch's seed frames (models/quant.py; results.json carries an
+            # encode_quant flag)
+            from textocvp_tpu.models.quant import lazy_encode_quantized_stage
+
+            predict_stage = lazy_encode_quantized_stage(
+                make_predict_stage,
+                lambda pred_params, videos, rng, **tk: videos[:, :c],
+                decomp_model, decomp_vars,
+                on_scales=lambda s: setattr(self, "encode_quant_scales", s),
+                log=print_)
+        else:
+            predict_stage = make_predict_stage()
 
         # opt-in runtime autotune of the decode schedule: measure the
         # candidate (chunks, unroll) pairs on the first batch, reuse the
@@ -550,6 +602,9 @@ class PredictorEvaluator:
         if getattr(self, "_quant_mode", None):
             # honesty flag: these metrics come from a quantized decoder
             results["decode_quant"] = self._quant_mode
+        if getattr(self, "_encode_quant_mode", None):
+            # honesty flag: these metrics come from a quantized ViT encoder
+            results["encode_quant"] = self._encode_quant_mode
         if is_process_zero():  # one results.json / plot set per experiment
             self.exp.save_results(self.results_name, results)
             _save_framewise_plots(self.exp, self.results_name, results,
