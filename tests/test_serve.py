@@ -321,28 +321,57 @@ def test_seq_parallel_with_tp_sharded_decoder(dinosaur_served_exp):
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
-def test_encode_quant_rejected_in_serving(dinosaur_served_exp):
-    """tpu.encode_quant is an evaluator knob; serving must fail fast (the
-    lazy calibration wrapper would break AOT export's direct
-    _predict_stage serialization) rather than silently serve unquantized."""
+def test_encode_quant_service_close_to_plain_and_exports(dinosaur_served_exp,
+                                                         tmp_path):
+    """tpu.encode_quant=int8 on a ViT-path service: the first request
+    calibrates the (depth, 4) activation scales, predictions stay close to
+    the bf16 service, and AOT export serializes the calibrated predict
+    stage — after warmup only — with the honesty flag in the manifest
+    (mirrors the decode_quant test above on the DINOSAUR fixture)."""
     import json
 
     from textocvp_tpu.serve import PredictionService
+    from textocvp_tpu.serve.export import ExportedPredictionService, export_service
+
+    kw = dict(decomp_ckpt="checkpoint_epoch_final",
+              pred_ckpt="checkpoint_epoch_final", batch_size=2, max_tokens=8)
+    plain = PredictionService(dinosaur_served_exp, "tiny_tf", **kw)
 
     cfg_path = (dinosaur_served_exp / "predictors" / "tiny_tf"
                 / "experiment_params.json")
-    cfg = json.loads(cfg_path.read_text())
+    original = cfg_path.read_text()
+    cfg = json.loads(original)
     cfg.setdefault("tpu", {})["encode_quant"] = "int8"
     cfg_path.write_text(json.dumps(cfg))
     try:
-        with pytest.raises(ValueError, match="not supported in serving"):
-            PredictionService(dinosaur_served_exp, "tiny_tf",
-                              decomp_ckpt="checkpoint_epoch_final",
-                              pred_ckpt="checkpoint_epoch_final",
-                              batch_size=1, max_tokens=8)
+        quant = PredictionService(dinosaur_served_exp, "tiny_tf", **kw)
     finally:
-        del cfg["tpu"]["encode_quant"]
-        cfg_path.write_text(json.dumps(cfg))
+        cfg_path.write_text(original)
+
+    # export before any request: encode calibration has not run yet
+    with pytest.raises(ValueError, match="encode_quant.*not been calibrated"):
+        export_service(quant, tmp_path / "early")
+
+    frames = np.random.default_rng(11).random((2, 1, 28, 28, 3), np.float32)
+    caps = ["the red ball is moving up", "the blue ball is moving down"]
+    plain._counter = quant._counter = 55  # same rng stream
+    a = plain.predict(frames, caps).astype(np.int32)
+    plain._counter = quant._counter = 55
+    b = quant.predict(frames, caps).astype(np.int32)  # triggers calibration
+    assert quant.encode_quant_scales.shape == (1, 4)  # (depth, denses)
+    # same decode, int8-encoded slots: small bounded pixel error on uint8
+    assert np.abs(a - b).max() <= 16
+    assert np.abs(a - b).mean() < 2.0
+
+    art = export_service(quant, tmp_path / "art")
+    manifest = json.loads((art / "manifest.json").read_text())
+    assert manifest["encode_quant"] == "int8"
+    restored = ExportedPredictionService(art)
+    quant._counter = restored._counter = 321
+    q1 = quant.predict(frames, caps)
+    quant._counter = restored._counter = 321
+    q2 = restored.predict(frames, caps)
+    np.testing.assert_array_equal(q1, q2)
 
 
 def test_warmup_uses_in_vocab_caption(service):

@@ -66,7 +66,8 @@ def main(argv=None):
     if args.export:
         from textocvp_tpu.serve.export import export_service
 
-        if getattr(service, "_quant_mode", None):
+        if (getattr(service, "_quant_mode", None)
+                or getattr(service, "_encode_quant_mode", None)):
             # int8 services must be calibrated before export (the artifact
             # bakes the scales); the warmup request calibrates on noise —
             # for real-data calibration use service.calibrate() via the API

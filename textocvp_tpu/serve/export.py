@@ -48,7 +48,19 @@ def export_service(service, out_dir) -> Path:
             "AOT export is single-device by design (exported StableHLO "
             "replays carry no mesh); build the service without mesh_axes "
             "to export")
-    if getattr(service._predict_stage, "lower", None) is None:
+    predict_stage = service._predict_stage
+    if getattr(service, "_encode_quant_mode", None):
+        # int8-encode services export the calibrated inner stage (scales
+        # baked); calibration happens on the first request, so warmup()
+        # must run before export
+        predict_stage = getattr(predict_stage, "inner", lambda: None)()
+        if predict_stage is None:
+            raise ValueError(
+                "quantized service (tpu.encode_quant) has not been "
+                "calibrated yet — call service.calibrate(real_frames, "
+                "captions) (preferred: the exported artifact bakes these "
+                "scales permanently) or service.warmup() before export")
+    if getattr(predict_stage, "lower", None) is None:
         raise ValueError(
             "service weights exceed the constant-bake limit; AOT export "
             "requires the baked configuration (see models/chunked.py)")
@@ -81,7 +93,7 @@ def export_service(service, out_dir) -> Path:
         for k, v in service._tokenize([service._warmup_caption()] * b).items()
     }
 
-    exp_predict = jax_export.export(service._predict_stage)(
+    exp_predict = jax_export.export(predict_stage)(
         videos, key, **{k: v for k, v in text_kwargs.items()})
     slots_spec = jax.ShapeDtypeStruct(exp_predict.out_avals[0].shape,
                                       exp_predict.out_avals[0].dtype)
@@ -98,8 +110,9 @@ def export_service(service, out_dir) -> Path:
         "text_kwargs": {k: [list(v.shape), str(np.dtype(v.dtype))]
                         for k, v in text_kwargs.items()},
         "dataset": service.exp_params["dataset"],
-        # honesty flag: the exported decode is int8-quantized (scales baked)
+        # honesty flags: the exported stages are int8-quantized (scales baked)
         "decode_quant": getattr(service, "_quant_mode", None),
+        "encode_quant": getattr(service, "_encode_quant_mode", None),
     }
     (out / _MANIFEST).write_text(json.dumps(manifest, indent=2))
     return out

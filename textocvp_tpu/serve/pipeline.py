@@ -114,14 +114,16 @@ class InferenceFrontend:
     def warmup(self):
         """Compile/load both executables with a dummy request (idempotent).
 
-        Quantized services (tpu.decode_quant) CALIBRATE on their first
-        request, so the dummy must not be degenerate: a black video's slot
-        activations would under-estimate the int8 ranges and clip every
-        real request. Noise frames give a non-degenerate range; for
-        tightest quality (especially before AOT export, which bakes the
-        scales), call :meth:`calibrate` with real frames first."""
+        Quantized services (tpu.decode_quant / tpu.encode_quant) CALIBRATE
+        on their first request, so the dummy must not be degenerate: a
+        black video's slot/ViT activations would under-estimate the int8
+        ranges and clip every real request. Noise frames give a
+        non-degenerate range; for tightest quality (especially before AOT
+        export, which bakes the scales), call :meth:`calibrate` with real
+        frames first."""
         h, w = self.resolution
-        if getattr(self, "_quant_mode", None):
+        if (getattr(self, "_quant_mode", None)
+                or getattr(self, "_encode_quant_mode", None)):
             frames = np.random.default_rng(14).uniform(
                 0, 1, (1, self.num_context, h, w, 3)).astype(np.float32)
         else:
@@ -135,9 +137,10 @@ class InferenceFrontend:
         scales cover the true activation range rather than the warmup
         sample's. No-op re-calls are not supported: the first predict wins
         (models/quant.py::lazy_quantized_stage)."""
-        if not getattr(self, "_quant_mode", None):
+        if not (getattr(self, "_quant_mode", None)
+                or getattr(self, "_encode_quant_mode", None)):
             raise ValueError("calibrate() only applies to services with "
-                             "tpu.decode_quant set")
+                             "tpu.decode_quant or tpu.encode_quant set")
         self.predict(frames, captions)
 
     def predict(self, frames: np.ndarray, captions: Sequence[str]) -> np.ndarray:
@@ -380,8 +383,12 @@ class PredictionService(InferenceFrontend):
         decode_rows = -(-rows // n_shards) * n_shards  # ceil to shard multiple
         tail_chunks = pick_tail_chunks(decode_rows, s, shard_multiple=n_shards)
 
-        def _predict(mv, pv, videos, key, **text_kwargs):
-            out = model.apply(mv, videos, decode=False, rngs={"slots": key})
+        def _predict(mv, pv, videos, key, encode_scales=None, **text_kwargs):
+            # int8 frozen-ViT encode (tpu.encode_quant; models/quant.py)
+            ekw = {} if encode_scales is None else {
+                "encode_quant_scales": encode_scales}
+            out = model.apply(mv, videos, decode=False, rngs={"slots": key},
+                              **ekw)
             return predictor.apply(pv, out["slot_history"], num_preds=p,
                                    teacher_force=False, **text_kwargs)
 
@@ -415,10 +422,14 @@ class PredictionService(InferenceFrontend):
         # and inflate compile time) — docs/PERFORMANCE.md "decode chunking"
         bake_m = should_bake_constants(model_vars)
         bake_p = should_bake_constants(pred_vars)
-        pj = jax.jit(partial(_predict, model_vars, pred_vars)) if (bake_m and bake_p) \
-            else jax.jit(_predict)
-        self._predict_stage = pj if (bake_m and bake_p) else (
-            lambda videos, key, **kw: pj(model_vars, pred_vars, videos, key, **kw))
+
+        def make_predict_stage(encode_scales=None):
+            if bake_m and bake_p:
+                return jax.jit(partial(_predict, model_vars, pred_vars,
+                                       encode_scales=encode_scales))
+            pj = jax.jit(partial(_predict, encode_scales=encode_scales))
+            return lambda videos, key, **kw: pj(model_vars, pred_vars,
+                                                videos, key, **kw)
 
         def make_decode_stage(tail_chunks=tail_chunks, tail_unroll=None,
                               quant_scales=None):
@@ -469,16 +480,25 @@ class PredictionService(InferenceFrontend):
 
         from textocvp_tpu.models.quant import encode_quant_mode
 
-        if encode_quant_mode(self.exp_params):
-            # the int8 frozen-ViT encode is an EVALUATOR knob: serving's
-            # predict stage must stay a bare jitted function (AOT export
-            # serializes service._predict_stage directly, serve/export.py),
-            # which the lazy calibration wrapper would break. Fail fast
-            # rather than silently serve unquantized.
-            raise ValueError(
-                "tpu.encode_quant is not supported in serving/export — it is "
-                "an evaluator-side knob (03/05). Unset tpu.encode_quant for "
-                "this experiment when serving.")
+        self._encode_quant_mode = encode_quant_mode(self.exp_params)
+        if self._encode_quant_mode:
+            # int8 frozen-ViT encode (tpu.encode_quant): lazily calibrated
+            # on the first request's context frames, same contract as
+            # decode_quant below — warmup() uses noise frames so the range
+            # is not degenerate, calibrate() takes representative data, and
+            # AOT export serializes the calibrated `.inner()` stage with
+            # the scales baked (serve/export.py).
+            from textocvp_tpu.core.logger import print_
+            from textocvp_tpu.models.quant import lazy_encode_quantized_stage
+
+            self._predict_stage = lazy_encode_quantized_stage(
+                make_predict_stage,
+                lambda videos, key, **kw: videos,
+                model, model_vars,
+                on_scales=lambda sc: setattr(self, "encode_quant_scales", sc),
+                log=print_)
+        else:
+            self._predict_stage = make_predict_stage()
         self._quant_mode = decode_quant_mode(self.exp_params)
         if self._quant_mode:
             # int8 decoder tail (tpu.decode_quant): calibrate activation
