@@ -155,13 +155,29 @@ def test_cater_random_start_deterministic_across_workers(tmp_path, worker_type):
 
 class _StubVideoReader:
     """imageio-reader lookalike over an in-memory (T,H,W,C) uint8 array —
-    lets the mp4 code paths (indexed get_data, count_frames, close) run
-    without an ffmpeg backend."""
+    lets the mp4 code paths (indexed get_data, count_frames, meta probe,
+    sequential iteration, close) run without an ffmpeg backend."""
 
-    def __init__(self, video, counters):
+    def __init__(self, video, counters, fps=10.0, cfr=True):
         self.video = video
         self.counters = counters
         self.closed = False
+        self.fps = fps
+        self.cfr = cfr
+
+    def get_meta_data(self):
+        assert not self.closed, "probe after close()"
+        self.counters["get_meta_data"] += 1
+        if self.fps is None:
+            return {"duration": 3.1}
+        n = self.video.shape[0] if self.cfr else self.video.shape[0] + 7
+        return {"fps": self.fps, "duration": n / self.fps}
+
+    def __iter__(self):
+        assert not self.closed, "read after close()"
+        for f in self.video:
+            self.counters["iter_data"] += 1
+            yield f
 
     def get_data(self, i):
         assert not self.closed, "read after close()"
@@ -193,17 +209,22 @@ def stub_mp4(monkeypatch):
     video = np.broadcast_to(
         np.arange(n_total, dtype=np.uint8)[:, None, None, None],
         (n_total, 8, 8, 3)).copy()
-    counters = {"get_data": 0, "count_frames": 0, "close": 0, "open": 0}
+    counters = {"get_data": 0, "count_frames": 0, "close": 0, "open": 0,
+                "get_meta_data": 0, "iter_data": 0}
 
     def fake_get_reader(path, *a, **k):
         assert str(path).endswith(".mp4")
         counters["open"] += 1
-        return _StubVideoReader(video, counters)
+        return _StubVideoReader(video, counters,
+                                fps=counters.get("_fps", 10.0),
+                                cfr=counters.get("_cfr", True))
 
     monkeypatch.setattr(imageio, "get_reader", fake_get_reader)
     datasets._VIDEO_LENGTH_CACHE.clear()
+    datasets._VIDEO_SEEK_SAFE.clear()
     yield counters, n_total
     datasets._VIDEO_LENGTH_CACHE.clear()
+    datasets._VIDEO_SEEK_SAFE.clear()
 
 
 def test_mp4_read_video_indexed_and_closed(stub_mp4):
@@ -218,7 +239,40 @@ def test_mp4_read_video_indexed_and_closed(stub_mp4):
     assert frames.shape == (4, 8, 8, 3)
     np.testing.assert_allclose(frames[:, 0, 0, 0] * 255, indices, atol=0.5)
     assert counters["get_data"] == 4  # no decode of frames 0..19
-    assert counters["close"] == 1
+    assert counters["iter_data"] == 0  # indexed path, not sequential
+    # readers closed: the one-time CFR/length probe reader + the data reader
+    assert counters["close"] == counters["open"]
+    # the CFR gate (fps*duration vs exact count) ran once; repeats are cached
+    _read_video("clip.mp4", indices)
+    assert counters["get_meta_data"] == 1
+    assert counters["count_frames"] == 1
+
+
+def test_mp4_vfr_falls_back_to_sequential(stub_mp4):
+    """When fps metadata is missing or inconsistent with the true frame
+    count (VFR / fps-metadata-poor containers), indexed time-seeking is NOT
+    trusted: _read_video decodes sequentially, which is exact by
+    construction, and still returns the right frames."""
+    from textocvp_tpu.data.datasets import _read_video
+
+    counters, _ = stub_mp4
+    counters["_cfr"] = False  # metadata fps*duration != count_frames
+    indices = np.arange(20, 24)
+    frames = _read_video("clip.mp4", indices)
+    np.testing.assert_allclose(frames[:, 0, 0, 0] * 255, indices, atol=0.5)
+    assert counters["get_data"] == 0
+    assert counters["iter_data"] == 24  # scans exactly up to max index + 1
+    assert counters["close"] == counters["open"]
+
+    # missing fps metadata: same sequential fallback
+    from textocvp_tpu.data import datasets
+
+    datasets._VIDEO_SEEK_SAFE.clear()
+    datasets._VIDEO_LENGTH_CACHE.clear()
+    counters["_fps"] = None
+    frames = _read_video("clip2.mp4", np.arange(3))
+    np.testing.assert_allclose(frames[:, 0, 0, 0] * 255, np.arange(3), atol=0.5)
+    assert counters["get_data"] == 0
 
 
 def test_mp4_video_length_cached(stub_mp4):

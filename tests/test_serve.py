@@ -273,9 +273,13 @@ def test_nondivisible_larger_batch_pads_and_batch_shards(served_exp):
     (e.g. 3 on data=2) must NOT fall back to sequence-parallel decode — that
     would replicate the full 3-sequence encode+rollout on every chip.
     Instead the compiled batch pads up to the next axis multiple (4) and
-    batch-shards; the caller's batch_size still bounds requests. Equivalence
-    is checked against a single-device service compiled at the SAME padded
-    batch (the stochastic slot initializer samples per compiled batch)."""
+    batch-shards; the caller's batch_size stays the REQUEST cap — the
+    operator configured 3, so a 4-row request is rejected even though the
+    executable could hold it (ADVICE r4). Equivalence is checked against a
+    single-device service compiled at the SAME padded batch (the stochastic
+    slot initializer samples per compiled batch)."""
+    import pytest
+
     from textocvp_tpu.serve import PredictionService
 
     kw = dict(decomp_ckpt="checkpoint_epoch_final",
@@ -283,7 +287,10 @@ def test_nondivisible_larger_batch_pads_and_batch_shards(served_exp):
     svc = PredictionService(served_exp, "tiny_tf", batch_size=3,
                             mesh_axes={"data": 2, "model": 4}, **kw)
     assert not svc._seq_parallel
-    assert svc.batch_size == 4  # padded to the next data-axis multiple
+    assert svc.batch_size == 3  # the operator's request cap, unchanged
+    assert svc._compiled_batch == 4  # padded to the next data-axis multiple
+    with pytest.raises(ValueError, match="exceeds"):
+        svc.predict(np.zeros((4, 1, RES, RES, 3), np.float32), ["a"] * 4)
     ref_svc = PredictionService(served_exp, "tiny_tf", batch_size=4, **kw)
 
     frames = np.random.default_rng(13).random((3, 1, RES, RES, 3), np.float32)

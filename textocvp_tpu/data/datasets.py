@@ -133,6 +133,31 @@ def _video_length(path: str) -> int:
     return n
 
 
+# Whether indexed (seek-based) frame access is trustworthy for a container,
+# keyed by path. imageio's get_data(i) seeks by TIME (index / metadata fps),
+# which is exact only for constant-frame-rate videos with correct fps
+# metadata. CATER mp4s are CFR, but rather than assume, we verify once per
+# path: metadata fps*duration must agree with the exact frame count. VFR or
+# fps-metadata-poor containers fall back to a sequential scan, which is
+# exact by construction (the pre-round-4 behavior).
+_VIDEO_SEEK_SAFE: dict = {}
+
+
+def _indexed_seek_safe(reader, path: str) -> bool:
+    ok = _VIDEO_SEEK_SAFE.get(path)
+    if ok is None:
+        try:
+            meta = reader.get_meta_data()
+            fps = meta.get("fps")
+            dur = meta.get("duration")
+            ok = (bool(fps) and bool(dur)
+                  and abs(round(fps * dur) - _video_length(path)) <= 1)
+        except Exception:
+            ok = False
+        _VIDEO_SEEK_SAFE[path] = ok
+    return ok
+
+
 def _read_video(path: str, indices: np.ndarray, size=None) -> np.ndarray:
     """
     Decode selected frames as float32 [0,1] (T, H, W, C). Supports:
@@ -176,10 +201,30 @@ def _read_video(path: str, indices: np.ndarray, size=None) -> np.ndarray:
     # Indexed reads, mirroring the reference's decord VideoReader.get_batch
     # (/root/reference/src/data/Cater.py:132-142): imageio's get_data(i)
     # reads forward for nearby indices and ffmpeg-seeks for far jumps, so a
-    # large random_start never decodes the whole prefix.
+    # large random_start never decodes the whole prefix. Seeking is by time
+    # (index / fps), so it is gated on a once-per-path CFR verification
+    # (_indexed_seek_safe); otherwise decode sequentially, which is exact
+    # for any container.
     try:
-        frames = [np.asarray(reader.get_data(int(i)), dtype=np.float32) / 255.0
-                  for i in indices]
+        if _indexed_seek_safe(reader, path):
+            frames = [np.asarray(reader.get_data(int(i)),
+                                 dtype=np.float32) / 255.0
+                      for i in indices]
+        else:
+            want = {int(i) for i in indices}
+            last = max(want)
+            got = {}
+            for j, fr in enumerate(reader):
+                if j in want:
+                    got[j] = np.asarray(fr, dtype=np.float32) / 255.0
+                if j >= last:
+                    break
+            missing = want - got.keys()
+            if missing:
+                raise IndexError(
+                    f"{path!r}: frames {sorted(missing)} beyond the end of "
+                    "the video")
+            frames = [got[int(i)] for i in indices]
     finally:
         reader.close()
     return np.stack(frames, axis=0)

@@ -97,19 +97,28 @@ def lazy_quantized_stage(build_stage, slots_of, decomp_model, decomp_vars,
     the (N, S, D) calibration slots for the first call's arguments;
     ``on_scales(np_scales)`` optional hook (evaluators stash them on self).
     The returned callable exposes ``.inner()`` -> the built stage (or None
-    before calibration) for AOT export."""
+    before calibration) for AOT export.
+
+    First-call calibration is guarded by a lock so concurrent callers (the
+    serving pipeline dispatches from worker threads) cannot calibrate/build
+    twice; steady-state calls take the lock-free fast path."""
+    import threading
+
     import jax.numpy as jnp
 
     holder = {}
+    init_lock = threading.Lock()
 
     def stage(*args):
         if "stage" not in holder:
-            scales = calibrate_decode_scales(decomp_model, decomp_vars,
-                                             slots_of(*args))
-            if on_scales is not None:
-                on_scales(scales)
-            log(f"int8 decode calibration: scales={scales.tolist()}")
-            holder["stage"] = build_stage(jnp.asarray(scales))
+            with init_lock:
+                if "stage" not in holder:
+                    scales = calibrate_decode_scales(
+                        decomp_model, decomp_vars, slots_of(*args))
+                    if on_scales is not None:
+                        on_scales(scales)
+                    log(f"int8 decode calibration: scales={scales.tolist()}")
+                    holder["stage"] = build_stage(jnp.asarray(scales))
         return holder["stage"](*args)
 
     stage.inner = lambda: holder.get("stage")
@@ -127,20 +136,29 @@ def lazy_encode_quantized_stage(build_stage, videos_of, decomp_model,
     calibrates both); ``videos_of(*args, **kwargs)`` -> the (B, T, H, W, C)
     calibration frames for the first call's arguments. Note the decode
     calibration then sees compute-dtype (not int8-encoded) slots — the
-    standard PTQ approximation, same class as calibrating on batch 1 only."""
+    standard PTQ approximation, same class as calibrating on batch 1 only.
+
+    First-call calibration is lock-guarded like :func:`lazy_quantized_stage`
+    so concurrent first callers cannot calibrate/build twice."""
+    import threading
+
     import jax.numpy as jnp
 
     holder = {}
+    init_lock = threading.Lock()
 
     def stage(*args, **kwargs):
         if "stage" not in holder:
-            scales = calibrate_encode_scales(decomp_model, decomp_vars,
-                                             videos_of(*args, **kwargs))
-            if on_scales is not None:
-                on_scales(scales)
-            log(f"int8 encode calibration: (depth, 4) scales, "
-                f"max={scales.max():.4g} min={scales.min():.4g}")
-            holder["stage"] = build_stage(jnp.asarray(scales))
+            with init_lock:
+                if "stage" not in holder:
+                    scales = calibrate_encode_scales(
+                        decomp_model, decomp_vars,
+                        videos_of(*args, **kwargs))
+                    if on_scales is not None:
+                        on_scales(scales)
+                    log(f"int8 encode calibration: (depth, 4) scales, "
+                        f"max={scales.max():.4g} min={scales.min():.4g}")
+                    holder["stage"] = build_stage(jnp.asarray(scales))
         return holder["stage"](*args, **kwargs)
 
     def _inner():

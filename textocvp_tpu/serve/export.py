@@ -84,7 +84,9 @@ def export_service(service, out_dir) -> Path:
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    b = service.batch_size
+    # trace at the batch the live stages were compiled for (may be padded
+    # up from the operator's request cap for mesh divisibility)
+    b = getattr(service, "_compiled_batch", service.batch_size)
     h, w = service.resolution
     videos = jax.ShapeDtypeStruct((b, service.num_context, h, w, 3), jnp.float32)
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)

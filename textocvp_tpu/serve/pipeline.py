@@ -165,7 +165,7 @@ class InferenceFrontend:
             raise ValueError(
                 f"expected {self.num_context} context frames, got {frames.shape[1]}")
 
-        pad = self.batch_size - b
+        pad = getattr(self, "_compiled_batch", self.batch_size) - b
         if pad:
             frames = np.concatenate(
                 [frames, np.repeat(frames[-1:], pad, axis=0)], axis=0)
@@ -231,6 +231,10 @@ class PredictionService(InferenceFrontend):
         self.num_context = pp["num_context"]
         self.num_preds = pp["num_preds"]
         self.batch_size = int(batch_size)
+        # the executable's batch dim; may pad up past batch_size for mesh
+        # divisibility (see below). batch_size stays the REQUEST cap the
+        # operator configured — validation and the HTTP banner read it.
+        self._compiled_batch = self.batch_size
         self.max_tokens = int(max_tokens)
 
         mp = self.exp_params["model"]["model_params"]
@@ -304,11 +308,11 @@ class PredictionService(InferenceFrontend):
                        "sequence-parallel decode engaged (encode+rollout "
                        "replicate; decode shards the frame dim)")
             elif self.batch_size % d:
-                padded = -(-self.batch_size // d) * d
+                self._compiled_batch = -(-self.batch_size // d) * d
                 print_(f"serve: batch {self.batch_size} not divisible by "
-                       f"data axis {d} — compiling at padded batch {padded} "
-                       "(requests are padded per call as usual)")
-                self.batch_size = padded
+                       f"data axis {d} — compiling at padded batch "
+                       f"{self._compiled_batch} (requests stay capped at "
+                       f"{self.batch_size}; padding sliced off per call)")
             from textocvp_tpu.parallel.partitioning import (
                 decomp_tp_enabled,
                 shard_decomp_variables,
@@ -379,7 +383,7 @@ class PredictionService(InferenceFrontend):
             for a in axes:
                 n_shards *= self.mesh.shape[a]
             frame_sharding = NamedSharding(self.mesh, PartitionSpec(axes))
-        rows = self.batch_size * p
+        rows = self._compiled_batch * p
         decode_rows = -(-rows // n_shards) * n_shards  # ceil to shard multiple
         tail_chunks = pick_tail_chunks(decode_rows, s, shard_multiple=n_shards)
 
