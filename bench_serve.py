@@ -23,7 +23,11 @@ import time
 import urllib.request
 
 
-def build_experiment(root, num_preds: int):
+def build_experiment(root, num_preds: int, model_kind: str = "cater"):
+    """Random-init served experiment: CATER SAVi (the flagship) or the FULL
+    CLIPort ExtendedDINOSAUR config (336px, ViT-B/14, MLP patch decoder +
+    CNN head) — the heaviest per-request encode the serving stack supports.
+    Serving cost does not depend on weight values."""
     import jax
     import jax.numpy as jnp
 
@@ -31,18 +35,23 @@ def build_experiment(root, num_preds: int):
     from textocvp_tpu.models import setup_model, setup_predictor
     from textocvp_tpu.train.checkpoints import save_checkpoint
 
-    parent = Experiment.create(root / "e", "SAVi", "CATER_Easy")
+    if model_kind == "dinosaur":
+        parent = Experiment.create(root / "e", "ExtendedDINOSAUR", "CLIPort")
+    else:
+        parent = Experiment.create(root / "e", "SAVi", "CATER_Easy")
     params = parent.params
     params["prediction_params"]["num_preds"] = num_preds
     parent.save_params(params)
+    img = params["model"]["model_params"].get("img_size", 64)
 
     model = setup_model(params)
-    videos = jnp.zeros((1, 1, 64, 64, 3))
+    videos = jnp.zeros((1, 1, img, img, 3))
     init_rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
     model_vars = jax.jit(
         lambda r, x: model.init(r, x, decode=True, train=False))(init_rngs, videos)
     save_checkpoint(parent.models_dir, "checkpoint_epoch_final",
-                    {"params": model_vars["params"]})
+                    {"params": model_vars["params"],
+                     "batch_stats": model_vars.get("batch_stats", {}) or {}})
 
     pred_exp = Experiment.create_predictor(parent.exp_path, "t5", "TextOCVP_T5")
     pparams = pred_exp.params
@@ -68,12 +77,15 @@ def run_concurrent_clients(args, base: str, httpd):
     padded device batch; with --dynamic_batch_ms concurrent rows share one."""
     import numpy as np
 
+    img = 336 if args.model == "dinosaur" else 64
+    caption = ("put the red block in the green bowl"
+               if args.model == "dinosaur" else "the snitch is picked up")
+
     def one_request(i: int) -> bytes:
-        frames = (np.full((1, 1, 64, 64, 3), (i % 7) / 7.0) * 255
+        frames = (np.full((1, 1, img, img, 3), (i % 7) / 7.0) * 255
                   ).astype(np.uint8)
         buf = io.BytesIO()
-        np.savez(buf, frames=frames,
-                 captions=np.array(["the snitch is picked up"]))
+        np.savez(buf, frames=frames, captions=np.array([caption]))
         return urllib.request.urlopen(urllib.request.Request(
             base + "/predict", data=buf.getvalue(),
             headers={"Content-Type": "application/npz"}), timeout=600).read()
@@ -86,7 +98,7 @@ def run_concurrent_clients(args, base: str, httpd):
             body = one_request(i * 1000 + r)
             latencies.append(time.perf_counter() - t0)
             out = np.load(io.BytesIO(body))["pred_frames"]
-            assert out.shape == (1, args.num_preds, 64, 64, 3)
+            assert out.shape == (1, args.num_preds, img, img, 3)
 
     one_request(0)  # steady-state warm request
     threads = [threading.Thread(target=client, args=(i,))
@@ -102,7 +114,7 @@ def run_concurrent_clients(args, base: str, httpd):
     rows = args.clients * args.requests
     lat = sorted(latencies)
     print(json.dumps({
-        "metric": "serve_pred_frames_per_sec (HTTP, "
+        "metric": f"serve_pred_frames_per_sec (HTTP, {args.model}, "
                   f"{args.clients} concurrent 1-row clients, "
                   f"dynamic_batch_ms={args.dynamic_batch_ms}, "
                   f"pipeline_depth={args.pipeline_depth})",
@@ -197,8 +209,16 @@ def run_ab_depths(args, service):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="cater",
+                    choices=["cater", "dinosaur"],
+                    help="cater: flagship SAVi+TextOCVP_T5 @64px. dinosaur: "
+                         "the FULL CLIPort ExtendedDINOSAUR+TextOCVP_T5 "
+                         "@336px (protocol: --batch 16 --num_preds 9) — the "
+                         "heaviest per-request encode the stack serves")
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--num_preds", type=int, default=19)
+    ap.add_argument("--num_preds", type=int, default=None,
+                    help="default: 19 (cater flagship) / 9 (dinosaur "
+                         "protocol)")
     ap.add_argument("--requests", type=int, default=8)
     ap.add_argument("--decode_quant", default=None, choices=["int8"],
                     help="opt-in int8 decode on the served model "
@@ -227,6 +247,8 @@ def main():
                          "dispatch cannot engage because the queue is empty "
                          "while a batch is in flight)")
     args = ap.parse_args()
+    if args.num_preds is None:
+        args.num_preds = 9 if args.model == "dinosaur" else 19
 
     import numpy as np
 
@@ -234,7 +256,7 @@ def main():
 
     with tempfile.TemporaryDirectory() as tmp:
         print("building experiment + service...", file=sys.stderr)
-        exp_path = build_experiment(Path(tmp), args.num_preds)
+        exp_path = build_experiment(Path(tmp), args.num_preds, args.model)
 
         from textocvp_tpu.serve import PredictionService, serve
 
@@ -266,10 +288,13 @@ def main():
             return
 
         rng = np.random.default_rng(0)
-        frames = (rng.random((args.batch, 1, 64, 64, 3)) * 255).astype(np.uint8)
+        img = 336 if args.model == "dinosaur" else 64
+        caption = ("put the red block in the green bowl"
+                   if args.model == "dinosaur" else "the snitch is picked up")
+        frames = (rng.random((args.batch, 1, img, img, 3)) * 255).astype(np.uint8)
         buf = io.BytesIO()
         np.savez(buf, frames=frames,
-                 captions=np.array(["the snitch is picked up"] * args.batch))
+                 captions=np.array([caption] * args.batch))
         payload = buf.getvalue()
         req = lambda: urllib.request.urlopen(urllib.request.Request(  # noqa: E731
             base + "/predict", data=payload,
@@ -287,9 +312,11 @@ def main():
         frames_total = args.requests * args.batch * args.num_preds
         suffix = (f", decode_quant={args.decode_quant}"
                   if args.decode_quant else "")
+        label = ("CLIPort ExtendedDINOSAUR+TextOCVP_T5 336px"
+                 if args.model == "dinosaur" else "CATER SAVi+TextOCVP_T5")
         print(json.dumps({
-            "metric": "serve_pred_frames_per_sec (HTTP end-to-end, CATER "
-                      f"SAVi+TextOCVP_T5{suffix})",
+            "metric": f"serve_pred_frames_per_sec (HTTP end-to-end, "
+                      f"{label}{suffix})",
             "value": round(frames_total / dt, 2),
             "unit": "frames/s",
             "request_latency_ms": round(1000 * dt / args.requests, 1),

@@ -156,3 +156,38 @@ def test_savi_with_resnet_encoder():
                       rngs={"slots": jax.random.PRNGKey(2)})
     assert out["slot_history"].shape == (1, 2, mp["num_slots"], mp["slot_dim"])
     assert out["recons_imgs"].shape == (1, 2, 64, 64, 3)
+
+
+@pytest.mark.parametrize("family", ["savi", "dinosaur"])
+def test_seed_only_encode_matches_full_sequence_prefix(family):
+    """Pinned contract for the evaluator's documented deviation
+    (train/evaluator.py:6-11): the slot recurrence is CAUSAL, so encoding
+    only the ``c`` seed frames yields exactly the slots the reference gets
+    by encoding seed+future and slicing
+    (/root/reference/src/05_evaluate_predictor.py:82-89):
+
+        decompose(videos[:, :c])["slot_history"]
+            == decompose(videos[:, :c+p])["slot_history"][:, :c]
+
+    under the same ``slots`` RNG (the stochastic LearnedRandom initializer
+    samples per batch, not per frame, so both calls draw identical initial
+    slots). Holds for both model families."""
+    c, p = 2, 3
+    if family == "savi":
+        exp_params, hw = tiny_savi_params(), H
+    else:
+        exp_params, hw = tiny_dinosaur_params(), 56
+    model = setup_model(exp_params)
+    video = jax.random.uniform(jax.random.PRNGKey(11), (B, c + p, hw, hw, 3))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)},
+        video[:, :1])
+    rngs = {"slots": jax.random.PRNGKey(5)}
+    seed_only = model.apply(variables, video[:, :c], decode=False, rngs=rngs)
+    full = model.apply(variables, video, decode=False, rngs=rngs)
+    np.testing.assert_allclose(
+        np.asarray(seed_only["slot_history"]),
+        np.asarray(full["slot_history"][:, :c]), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(seed_only["attn_masks"]),
+        np.asarray(full["attn_masks"][:, :c]), rtol=1e-6, atol=1e-6)

@@ -377,3 +377,64 @@ def test_cater_annotations_and_vocab(tmp_path):
     assert len(ds) == 1
     assert ds.split == "test"
     assert ds.vocabulary == CATER_HARD_VOCAB
+
+
+# --------------------------------------------------------------- CLIPort cache
+def _run_npy_cache(argv):
+    import importlib.util
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "make_npy_cache", os.path.join(repo, "scripts", "make_npy_cache.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.main(argv) == 0
+
+
+def test_cliport_npy_cache_round_trips(cliport_root, tmp_path):
+    """scripts/make_npy_cache.py --dataset cliport writes per-episode
+    pre-decoded uint8 caches that are ROUND-TRIP EXACT with the PNG path
+    (both decode through _load_image_resized; float frames are k/255, so the
+    uint8 store is lossless), preserving captions, episode exclusion, and
+    the deterministic random-start stream."""
+    out_root = tmp_path / "cliport_cache"
+    _run_npy_cache(["--dataset", "cliport", "--root", str(cliport_root),
+                    "--split", "train", "--img-size", "32",
+                    "--out", str(out_root)])
+
+    ds_png = CLIPort(root=str(cliport_root), split="train", num_frames=4,
+                     img_size=32, random_start=True)
+    ds_npy = CLIPort(root=str(out_root), split="train", num_frames=4,
+                     img_size=32, random_start=True)
+    assert len(ds_npy) == len(ds_png) == 3  # excluded episode still dropped
+    # the cache file is what's being read (no color/ dir exists in out_root)
+    assert not (out_root / "train" / ds_npy.episodes[0] / "color").exists()
+    for ds in (ds_png, ds_npy):
+        ds.set_epoch(5)
+    for idx in range(3):
+        f_png, cap_png = ds_png[idx]
+        f_npy, cap_npy = ds_npy[idx]
+        assert cap_npy == cap_png
+        assert f_npy.dtype == np.float32
+        np.testing.assert_array_equal(f_npy, f_png)  # bit-identical
+
+
+def test_cliport_npy_cache_in_place_and_size_gated(cliport_root):
+    """Caching INTO the original root works, and the size token gates it: a
+    config at a different img_size ignores the cache and decodes PNGs (a
+    cache built at one resolution must never serve another)."""
+    _run_npy_cache(["--dataset", "cliport", "--root", str(cliport_root),
+                    "--split", "test", "--img-size", "24",
+                    "--out", str(cliport_root)])
+    ds24 = CLIPort(root=str(cliport_root), split="test", num_frames=4,
+                   img_size=24)
+    ep0 = ds24.episodes[0]
+    assert (cliport_root / "test" / ep0 / "color_cache_24.npy").exists()
+    frames24, _ = ds24[0]
+    assert frames24.shape[1] == 24  # shorter side
+
+    # different size -> cache filename mismatch -> PNG path
+    ds16 = CLIPort(root=str(cliport_root), split="test", num_frames=4,
+                   img_size=(16, 16))
+    frames16, _ = ds16[0]
+    assert frames16.shape == (4, 16, 16, 3)

@@ -46,6 +46,15 @@ def _target_hw(h: int, w: int, size) -> tuple[int, int]:
     return tuple(size)
 
 
+def _size_token(img_size) -> str:
+    """Filename token identifying a resize target: ``336`` (shorter-side int)
+    or ``336x448`` (exact tuple). Pre-decoded caches embed it so a cache built
+    at one resolution can never silently serve a config at another."""
+    if isinstance(img_size, (list, tuple)):
+        return "x".join(str(int(s)) for s in img_size)
+    return str(int(img_size))
+
+
 def _resize_frames(frames: np.ndarray, size) -> np.ndarray:
     """Bilinear resize of (T, H, W, C) float frames to the target size. An int
     target resizes the shorter side (torchvision semantics); a tuple is exact."""
@@ -326,9 +335,24 @@ class CLIPort:
 
     def __getitem__(self, idx: int):
         episode = self.episodes[idx]
-        color_dir = os.path.join(self.root, episode, "color")
-        frame_files = sorted(os.listdir(color_dir))
-        n = len(frame_files)
+        # pre-decoded uint8 cache (scripts/make_npy_cache.py --dataset
+        # cliport): one (T, H, W, 3) array per episode at the training
+        # resolution, round-trip-exact with the PNG path (both go through
+        # _load_image_resized, and float frames are k/255 so the uint8 store
+        # is lossless). PNG decode+resize at 336px sustains only ~86
+        # frames/s/core (docs/PERFORMANCE.md "Host input pipeline") — far
+        # under the ~893 f/s the CLIPort eval consumer needs — while the
+        # mmap'd cache is memcpy-bound.
+        cache = os.path.join(self.root, episode,
+                             f"color_cache_{_size_token(self.img_size)}.npy")
+        if os.path.exists(cache):
+            arr = np.load(cache, mmap_mode="r")
+            n = arr.shape[0]
+        else:
+            arr = None
+            color_dir = os.path.join(self.root, episode, "color")
+            frame_files = sorted(os.listdir(color_dir))
+            n = len(frame_files)
         if n < self.num_frames:
             raise ValueError(f"{self.num_frames} frames required but {n} available in {episode}")
         if self.random_start:
@@ -336,6 +360,10 @@ class CLIPort:
                                   max(n - self.num_frames, 0) + 1)
         else:
             start = 0
+        if arr is not None:
+            frames = np.asarray(arr[start:start + self.num_frames],
+                                dtype=np.float32) / 255.0
+            return frames, self.labels[idx]
         frames = [
             _load_image_resized(
                 os.path.join(color_dir,
