@@ -37,6 +37,20 @@ import numpy as np
 from bench_common import time_steps_ms as _time_steps
 
 
+def _grad_sink(val, grads):
+    """Fold the gradients into the returned scalar so XLA cannot dead-code
+    eliminate the backward pass (``value_and_grad(...)[0]`` alone compiles to
+    the forward only — measured: fwd_bwd == fwd exactly). The global grad
+    norm mirrors work the real train step does anyway (clip-by-global-norm),
+    and the 1e-12 scale keeps the reported loss readable."""
+    import jax
+    import jax.numpy as jnp
+
+    gnorm = jnp.sqrt(sum(jnp.sum(jnp.square(g))
+                         for g in jax.tree_util.tree_leaves(grads)))
+    return val + 1e-12 * gnorm
+
+
 def bench_savi(tmp, batch, iters, dtype, train_decode_chunks, accum=1,
                breakdown=False):
     import jax
@@ -85,8 +99,8 @@ def bench_savi(tmp, batch, iters, dtype, train_decode_chunks, accum=1,
             return tr.loss_fn(**tr._loss_tensors(out, v))[0]
 
         fwd_j = jax.jit(fwd_loss)
-        fwd_bwd_j = jax.jit(lambda q, v: jax.value_and_grad(
-            lambda r_: fwd_loss(r_, v))(q)[0])
+        fwd_bwd_j = jax.jit(lambda q, v: _grad_sink(*jax.value_and_grad(
+            lambda r_: fwd_loss(r_, v))(q)))
         enc_j = jax.jit(lambda q, v: tr.model.apply(
             {"params": q}, v, decode=False,
             rngs={"slots": rng})["slot_history"])
@@ -222,8 +236,8 @@ def bench_pred(tmp, batch, iters, dtype, train_decode_chunks=None,
                 target_imgs=target_imgs)[0]
 
         fwd_j = jax.jit(fwd_loss)
-        fwd_bwd_j = jax.jit(lambda q, v: jax.value_and_grad(
-            lambda r_: fwd_loss(r_, v))(q)[0])
+        fwd_bwd_j = jax.jit(lambda q, v: _grad_sink(*jax.value_and_grad(
+            lambda r_: fwd_loss(r_, v))(q)))
         enc_j = jax.jit(lambda v: model.apply(
             dvars, v[:, :c + p_], decode=False,
             rngs={"slots": rng})["slot_history"])
@@ -345,7 +359,11 @@ def bench_dinosaur(tmp, batch, iters, dtype, accum=1, breakdown=False):
         p0 = jax.tree_util.tree_map(jnp.array, tr.params)
         mp = p["model"]["model_params"]
         s_, d_ = mp["num_slots"], mp["slot_dim"]
-        bn = {"batch_stats": tr.batch_stats} if tr.batch_stats else {}
+        # batch_stats needs its own copy too: the donating step deletes the
+        # trainer's buffers, and these stage programs close over bn
+        bn = ({"batch_stats": jax.tree_util.tree_map(jnp.array,
+                                                     tr.batch_stats)}
+              if tr.batch_stats else {})
 
         def fwd_loss(q, v):
             variables = {"params": q, **bn}
@@ -359,9 +377,11 @@ def bench_dinosaur(tmp, batch, iters, dtype, accum=1, breakdown=False):
             return tr.loss_fn(**tr._loss_tensors(out, v))[0]
 
         fwd_j = jax.jit(fwd_loss)
-        # mirror the trainer: tpu.remat wraps the whole forward
-        fwd_bwd_j = jax.jit(lambda q, v: jax.value_and_grad(
-            lambda r_: jax.checkpoint(fwd_loss)(r_, v))(q)[0])
+        # mirror the trainer: tpu.remat wraps the whole forward, with the
+        # frozen-ViT features saved rather than replayed (trainer.py)
+        _policy = jax.checkpoint_policies.save_only_these_names("frozen_feats")
+        fwd_bwd_j = jax.jit(lambda q, v: _grad_sink(*jax.value_and_grad(
+            lambda r_: jax.checkpoint(fwd_loss, policy=_policy)(r_, v))(q)))
         enc_j = jax.jit(lambda q, v: tr.model.apply(
             {"params": q, **bn}, v, decode=False,
             rngs={"slots": rng})["slot_history"])
@@ -382,8 +402,9 @@ def bench_dinosaur(tmp, batch, iters, dtype, accum=1, breakdown=False):
                  lambda: dec_j(p0, slots_flat), ssum),
             ],
             # frozen ViT sits behind stop_gradient: NO backward through it;
-            # remat replays the whole forward (incl. the ViT) once
-            bwd_mult={"vit_encode": 0}, remat=True)
+            # remat replays the forward once, EXCEPT the frozen ViT whose
+            # tagged output the checkpoint policy saves (trainer.py)
+            bwd_mult={"vit_encode": 0}, remat=("vit_encode",))
         return {"metric": f"dinosaur_train_breakdown (B={batch}, "
                           f"T={t_frames}, {img}px, remat, {dtype})",
                 "stages": rows, "unit": "ms/stage"}
@@ -456,6 +477,9 @@ def _savi_flops(exp_params, b, t):
 
 def _breakdown(iters, flops, fwd, fwd_bwd, step, step_sync,
                stage_fns=(), bwd_mult=None, remat=False):
+    """``remat``: False, or an iterable of stage names NOT replayed by the
+    checkpoint policy (save_only_these_names skips the frozen encoder);
+    True replays the whole forward."""
     """Measure fwd / fwd+bwd / full-step as separate programs and derive the
     backward and optimizer costs; report sustained TFLOPS against analytic
     algorithmic FLOPs. ``bwd_mult`` maps stage -> backward FLOP multiple of
@@ -485,7 +509,10 @@ def _breakdown(iters, flops, fwd, fwd_bwd, step, step_sync,
     bwd_mult = bwd_mult or {}
     f_fwd = sum(flops.values())
     f_bwd = sum(v * bwd_mult.get(k, 2) for k, v in flops.items())
-    f_bwd += f_fwd if remat else 0  # remat replays the whole forward
+    if remat is True:          # replay the whole forward
+        f_bwd += f_fwd
+    elif remat:                # policy: replay all but the excluded stages
+        f_bwd += sum(v for k, v in flops.items() if k not in set(remat))
     f_total = f_fwd + f_bwd
     out = {}
     for k, ms in rows.items():

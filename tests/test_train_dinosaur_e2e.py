@@ -165,3 +165,49 @@ def test_dinosaur_eval_tp_mesh_matches_plain(dinosaur_exp):
 
     np.testing.assert_allclose(tp["psnr"]["mean"], plain["psnr"]["mean"],
                                rtol=1e-4)
+
+
+def test_remat_step_matches_plain(tmp_path_factory):
+    """tpu.remat (jax.checkpoint with the save_only_these_names policy that
+    keeps the tagged frozen-ViT features instead of replaying the encoder in
+    the backward — models/extended_dinosaur.py) is semantics-preserving: one
+    train step from identical init/batch/rng must reproduce the plain step's
+    losses."""
+    import jax
+    import jax.numpy as jnp
+
+    from textocvp_tpu.train.trainer import DecompTrainer
+
+    tmp_path = tmp_path_factory.mktemp("dino_remat")
+    videos = np.random.default_rng(2).uniform(
+        0, 1, (4, 3, 28, 28, 3)).astype(np.float32)
+    rng = jax.random.PRNGKey(9)
+
+    losses = {}
+    for remat in (False, True):
+        exp = Experiment.create(tmp_path / f"exp_r{int(remat)}",
+                                "ExtendedDINOSAUR", "Synthetic")
+        params = exp.params
+        mp = params["model"]["model_params"]
+        mp.update(img_size=28, num_slots=3, slot_dim=16, mlp_hidden=16,
+                  mlp_encoder_dim=384)
+        mp["encoder"] = {
+            "encoder_name": "vit_small_patch14_dinov2",
+            "encoder_params": {"encoder_num_blocks": 1},
+        }
+        mp["decoder"]["decoder_params"].update(
+            num_patches=4, in_dim=16, hidden_dim=32, out_dim=385,
+            num_layers=2, patch_size=14, num_layers_cnn=2,
+            reconstruct_images=True,
+        )
+        params["dataset"].update(img_size=[28, 28], num_frames=3)
+        params["training"]["batch_size"] = 4
+        params.setdefault("tpu", {})["remat"] = remat
+        exp.save_params(params)
+        tr = DecompTrainer(exp.exp_path)
+        tr.setup_model(videos)
+        _, _, _, values = tr.train_step(
+            tr.params, tr.batch_stats, tr.opt_state, jnp.asarray(videos), rng)
+        losses[remat] = float(values["_total"])
+    assert np.isfinite(losses[True])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)

@@ -154,6 +154,37 @@ def test_train_decode_chunks_step_matches_flat(tmp_path_factory):
     np.testing.assert_allclose(losses[2], losses[None], rtol=1e-5)
 
 
+def test_valid_step_chunked_matches_flat(tmp_path_factory):
+    """valid_step (forward-only) takes the evaluators' chunked-decode policy
+    (tpu.decode_chunks) — the flat forward-only program is a measured 3x
+    scheduling pathology on v5e (models/chunked.py::valid_decode_kwargs). The
+    chunked form must reproduce the flat form's validation losses exactly
+    (the scanned tail is the same math)."""
+    import jax
+    import jax.numpy as jnp
+
+    from textocvp_tpu.train.trainer import DecompTrainer
+
+    tmp_path = tmp_path_factory.mktemp("chunked_valid")
+    videos = np.random.default_rng(1).uniform(
+        0, 1, (4, 4, 16, 16, 3)).astype(np.float32)
+    rng = jax.random.PRNGKey(5)
+
+    losses = {}
+    for chunks in (1, 2):  # 1 -> flat; 2 divides the 16-row decode batch
+        exp = _tiny_exp(tmp_path, name=f"exp_v{chunks}")
+        params = exp.params
+        params.setdefault("tpu", {})["decode_chunks"] = chunks
+        exp.save_params(params)
+        tr = DecompTrainer(exp.exp_path)
+        tr.setup_model(videos)
+        values = tr.valid_step(tr.params, tr.batch_stats,
+                               jnp.asarray(videos), rng)
+        losses[chunks] = float(values["_total"])
+    assert np.isfinite(losses[2])
+    np.testing.assert_allclose(losses[2], losses[1], rtol=1e-5)
+
+
 def test_decomp_fig_generation(trained_exp):
     from textocvp_tpu.train.fig_generation import DecompFigGenerator
 
@@ -478,3 +509,54 @@ def test_async_checkpoint_training(tmp_path_factory):
     for a, b in zip(jax.tree_util.tree_leaves(final["params"]),
                     jax.tree_util.tree_leaves(trainer.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_predictor_remat_step_matches_plain(tmp_path_factory):
+    """tpu.remat on the predictor trainer (jax.checkpoint with the policy
+    that SAVES the tagged frozen-decomp slots instead of replaying the
+    frozen encode in the backward — predictor_trainer.py) is
+    semantics-preserving: one train step from identical init/batch/rng must
+    reproduce the plain step's losses."""
+    import jax
+    import jax.numpy as jnp
+
+    from textocvp_tpu.train.predictor_trainer import PredictorTrainer, _text_kwargs
+    from textocvp_tpu.train.trainer import DecompTrainer
+
+    tmp_path = tmp_path_factory.mktemp("pred_remat")
+    exp = _tiny_exp(tmp_path, name="parent")
+    params = exp.params
+    params["model"]["model_params"]["initializer"] = "Learned"
+    params["training"]["num_epochs"] = 0  # init-only: materialize final ckpt
+    exp.save_params(params)
+    trainer = DecompTrainer(exp.exp_path)
+    trainer.load_data()
+    videos, _ = next(iter(trainer.train_loader))
+    trainer.setup_model(videos)
+    trainer.training_loop()
+
+    losses = {}
+    for remat in (False, True):
+        pred_exp = Experiment.create_predictor(
+            exp.exp_path, f"pr{int(remat)}", "TextOCVP_CustomTF")
+        pparams = pred_exp.params
+        pp = pparams["predictor"]["predictor_params"]
+        pp["predictor_params"].update(token_dim=32, n_heads=2, hidden_dim=32,
+                                      num_layers=1)
+        pp["fusion_params"].update(num_heads=2, head_dim=8, mlp_size=32)
+        pp["text_encoder_params"].update(input_dim=16, num_layers=1,
+                                         num_heads=2, vocab_size=16)
+        pparams["training"]["batch_size"] = 8
+        pparams.setdefault("tpu", {})["remat"] = remat
+        pred_exp.save_params(pparams)
+        tr = PredictorTrainer(pred_exp.exp_path,
+                              decomp_ckpt="checkpoint_epoch_final")
+        tr.load_data()
+        videos, others = next(iter(tr.train_loader))
+        tr.setup_model(videos, others)
+        _, _, values = tr.train_step(
+            tr.params, tr.opt_state, jnp.asarray(videos),
+            jax.random.PRNGKey(5), **_text_kwargs(others))
+        losses[remat] = float(values["_total"])
+    assert np.isfinite(losses[True])
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-5)

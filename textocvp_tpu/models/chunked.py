@@ -96,6 +96,30 @@ def train_decode_kwargs(exp_params: dict, n_rows: int) -> dict:
     return {"tail_chunks": chunks, "tail_remat": True} if chunks > 1 else {}
 
 
+def valid_decode_kwargs(exp_params: dict, n_rows: int) -> dict:
+    """Decode kwargs for the trainers' FORWARD-ONLY programs (valid_step /
+    valid_forward): the evaluators' chunking policy, no remat (there is no
+    backward to fit).
+
+    Measured motivation (bench_train.py --breakdown, round 5): the flat
+    forward-only SAVi program schedules pathologically on v5e — 1033 ms at
+    B=64/T=8 where the SAME forward inside the fused fwd+bwd train step
+    costs 348 ms — while the scanned-tail eval form runs the same decode in
+    ~114 ms. The reference's epoch template runs a full valid epoch BEFORE
+    every train epoch (baseTrainer.py:159-165), so the forward-only program
+    is a per-epoch production cost, not just an eval one. Uses the same
+    ``tpu.decode_chunks`` option as the evaluators; SAVi only (the MLP patch
+    decoder ignores ``tail_chunks`` — measured no-win, docs/PERFORMANCE.md)."""
+    if exp_params["model"]["model_name"] != "SAVi":
+        return {}
+    num_slots = exp_params["model"]["model_params"]["num_slots"]
+    cfg = (exp_params.get("tpu") or {}).get("decode_chunks")
+    chunks = resolve_tail_chunks(cfg, n_rows, num_slots)
+    if chunks <= 1:
+        return {}
+    return {"tail_chunks": chunks, "tail_unroll": pick_tail_unroll(chunks)}
+
+
 def pick_tail_unroll(tail_chunks: int, remat: bool = False) -> int:
     """Scan-unroll factor for the chunked decoder tail (inference only).
 

@@ -14,6 +14,7 @@ from typing import Any, Optional
 
 import flax.linen as nn
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from textocvp_tpu.nn.blocks import MLP
@@ -137,8 +138,16 @@ class ExtendedDINOSAUR(nn.Module):
         frames = x.reshape((b * t,) + x.shape[2:])
         ekw = {} if encode_quant_scales is None else {
             "quant_scales": encode_quant_scales}
-        img_feats = jax.lax.stop_gradient(
-            self.image_encoder(frames, train=False, **ekw))
+        # checkpoint_name tags the frozen-ViT output so the trainers' remat
+        # policy (save_only_these_names("frozen_feats")) can SAVE it instead
+        # of replaying the whole ViT-B/14 forward in the backward pass — the
+        # ViT sits behind stop_gradient and is never differentiated, so its
+        # replay is pure waste (~64 frames of ViT forward per train step at
+        # the CLIPort config). Outside jax.checkpoint this is a no-op.
+        img_feats = jax.ad_checkpoint.checkpoint_name(
+            jax.lax.stop_gradient(
+                self.image_encoder(frames, train=False, **ekw)),
+            "frozen_feats")
         proj = self.feat_proj_mlp(self.feat_proj_ln(img_feats))  # (B*T, P, slot_dim)
         k, v = self.slot_attention.project_inputs(proj)
         k = k.reshape(b, t, *k.shape[1:])

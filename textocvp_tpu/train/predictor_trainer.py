@@ -17,6 +17,7 @@ from functools import partial
 from typing import Optional
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 import numpy as np
 import optax
@@ -199,26 +200,38 @@ class PredictorTrainer:
         # conv tail with a per-chunk-remat backward. Measured NEGATIVE for
         # speed on v5e at the SAVi decomp step (779 vs 349 ms, B=64) — a
         # memory knob, not a throughput one (models/chunked.py).
-        from textocvp_tpu.models.chunked import train_decode_kwargs
+        from textocvp_tpu.models.chunked import (train_decode_kwargs,
+                                                 valid_decode_kwargs)
 
         exp_params = self.exp_params
 
-        def _decode_kwargs(b: int) -> dict:
+        def _decode_kwargs(b: int, valid: bool = False) -> dict:
+            # valid_step is forward-only: the evaluators' chunked-decode
+            # policy applies (flat forward-only programs schedule
+            # pathologically on v5e — models/chunked.py::valid_decode_kwargs)
+            if valid:
+                return valid_decode_kwargs(exp_params, b * p)
             return train_decode_kwargs(exp_params, b * p)
 
-        def forward_loss(params, videos, rng, text_kwargs, tf: bool):
+        def forward_loss(params, videos, rng, text_kwargs, tf: bool,
+                         valid: bool = False):
             videos = videos[:, : c + p]
             b = videos.shape[0]
             out = decomp_model.apply(
                 decomp_vars(), videos, decode=False, rngs={"slots": rng}
             )
-            slot_history = jax.lax.stop_gradient(out["slot_history"])
+            # tag the frozen-decomp slots so the remat policy below can SAVE
+            # them instead of replaying the whole frozen encode (SAVi CNN or
+            # DINOSAUR ViT-B/14) in the backward — it sits behind
+            # stop_gradient and is never differentiated
+            slot_history = jax.ad_checkpoint.checkpoint_name(
+                jax.lax.stop_gradient(out["slot_history"]), "frozen_feats")
             pred_slots = predictor.apply(
                 {"params": params}, slot_history, teacher_force=tf, **text_kwargs
             )
             dec = decomp_model.apply(
                 decomp_vars(), pred_slots.reshape(b * p, num_slots, slot_dim),
-                method="decode", **_decode_kwargs(b),
+                method="decode", **_decode_kwargs(b, valid=valid),
             )
             pred_imgs = dec["recons_imgs"]
             target_imgs = videos[:, c : c + p]
@@ -250,8 +263,13 @@ class PredictorTrainer:
 
             if use_remat:
                 # recompute the rollout+decode during backward: trades ~1.3x
-                # FLOPs for activation memory (needed at 336px / long rollouts)
-                loss_of = jax.checkpoint(loss_of)
+                # FLOPs for activation memory (needed at 336px / long
+                # rollouts). The tagged frozen-decomp slots are SAVED, not
+                # replayed (see forward_loss).
+                loss_of = jax.checkpoint(
+                    loss_of,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "frozen_feats"))
 
             (_, values), grads = jax.value_and_grad(
                 lambda q: loss_of(q, videos), has_aux=True
@@ -293,7 +311,8 @@ class PredictorTrainer:
 
         @partial(jax.jit, static_argnames=("tf",))
         def valid_step(params, videos, rng, tf, **text_kwargs):
-            _, values = forward_loss(params, videos, rng, text_kwargs, tf)
+            _, values = forward_loss(params, videos, rng, text_kwargs, tf,
+                                     valid=True)
             return values
 
         accum = accum_steps_of(self.training_params)

@@ -227,14 +227,20 @@ class DecompTrainer:
         # for speed on v5e (779 vs 349 ms at the B=64 SAVi step — the
         # scan-with-remat backward schedules pathologically); the knob exists
         # for memory-limited configs, not throughput (models/chunked.py).
-        from textocvp_tpu.models.chunked import train_decode_kwargs
+        from textocvp_tpu.models.chunked import (train_decode_kwargs,
+                                                 valid_decode_kwargs)
 
         exp_params = self.exp_params
 
         def forward(params, batch_stats, videos, rng, train: bool):
             variables = {"params": params}
-            kwargs = train_decode_kwargs(exp_params,
-                                         videos.shape[0] * videos.shape[1])
+            n_rows = videos.shape[0] * videos.shape[1]
+            # forward-only programs (valid epoch) take the evaluators'
+            # chunked-decode policy: the flat forward-only schedule is a
+            # measured 3x pathology on v5e (models/chunked.py
+            # ::valid_decode_kwargs)
+            kwargs = (train_decode_kwargs(exp_params, n_rows) if train
+                      else valid_decode_kwargs(exp_params, n_rows))
             if has_bn:
                 variables["batch_stats"] = batch_stats
             if train and has_bn:
@@ -256,7 +262,15 @@ class DecompTrainer:
                 return forward(p, batch_stats, v, rng, train=True)
 
             if use_remat:
-                fwd = jax.checkpoint(fwd)
+                # save the tagged frozen-ViT features instead of replaying
+                # the (stop_gradient'ed, never-differentiated) ViT forward
+                # in the backward (docs/PERFORMANCE.md round-5 training
+                # breakdown). SAVi tags nothing, so the policy degenerates
+                # to plain full remat there.
+                fwd = jax.checkpoint(
+                    fwd,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "frozen_feats"))
 
             def loss_of(p):
                 out, new_bs = fwd(p, videos)
