@@ -425,6 +425,50 @@ def bench_dinosaur(tmp, batch, iters, dtype, accum=1, breakdown=False):
 
 
 # ------------------------------------------------------------- train breakdown
+def bench_valid(tmp, batch, iters, dtype):
+    """In-process A/B of the SAVi valid_step — the forward-only program the
+    epoch template runs BEFORE every train epoch (reference
+    baseTrainer.py:159-165): flat decode vs the evaluators' chunked policy
+    (wired round 5 via models/chunked.py::valid_decode_kwargs). Both arms run
+    in one process; cross-run drift on the tunneled runtime makes separate
+    processes incomparable."""
+    import jax
+    import jax.numpy as jnp
+
+    from textocvp_tpu.core.experiment import Experiment
+    from textocvp_tpu.train.trainer import DecompTrainer
+
+    videos = np.random.default_rng(0).uniform(
+        0, 1, (batch, 8, 64, 64, 3)).astype(np.float32)
+    rng = jax.random.PRNGKey(7)
+    rows = {}
+    for arm, chunks in (("flat (decode_chunks=1)", 1),
+                        ("chunked (auto policy)", None)):
+        exp = Experiment.create(f"{tmp}/valid_{1 if chunks else 0}",
+                                "SAVi", "CATER_Easy")
+        p = exp.params
+        p["training"]["batch_size"] = batch
+        p.setdefault("tpu", {})["compute_dtype"] = dtype
+        if chunks is not None:
+            p["tpu"]["decode_chunks"] = chunks
+        exp.save_params(p)
+        tr = DecompTrainer(exp.exp_path)
+        tr.setup_model(videos)
+        videos_j = jnp.asarray(videos)
+        fn = lambda: tr.valid_step(tr.params, tr.batch_stats, videos_j, rng)
+        sync = lambda v: float(next(iter(v.values())))
+        t0 = time.perf_counter()
+        sync(fn())
+        print(f"[valid/{arm}] compile+first: {time.perf_counter() - t0:.1f}s",
+              file=sys.stderr)
+        rows[arm] = round(_time_steps(fn, sync, iters), 2)
+    return {"metric": f"savi_valid_step_ms (B={batch}, T=8, {dtype}, "
+                      "forward-only A/B)",
+            "arms": rows, "unit": "ms/step",
+            "speedup": round(rows["flat (decode_chunks=1)"]
+                             / rows["chunked (auto policy)"], 2)}
+
+
 def _conv_stack_flops(hw, channels, k, in_ch):
     """2*MACs of a same-padding conv stack at constant resolution."""
     f, cin = 0, in_ch
@@ -539,7 +583,7 @@ def _breakdown(iters, flops, fwd, fwd_bwd, step, step_sync,
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--workload", default="savi",
-                        choices=["savi", "pred", "dinosaur"])
+                        choices=["savi", "pred", "dinosaur", "valid"])
     parser.add_argument("--batch_size", type=int, default=None)
     parser.add_argument("--iters", type=int, default=10)
     parser.add_argument("--dtype", default="bfloat16",
@@ -578,6 +622,9 @@ def main():
             result = bench_pred(tmp, args.batch_size or 16, args.iters,
                                 args.dtype, chunks, remat=args.remat,
                                 accum=args.accum, breakdown=args.breakdown)
+        elif args.workload == "valid":
+            result = bench_valid(tmp, args.batch_size or 64, args.iters,
+                                 args.dtype)
         else:
             # default B=8: B=16 fails HBM allocation on v5e (16.14G needed
             # vs 15.75G, measured) even with tpu.remat
