@@ -99,7 +99,10 @@ def build_flagship(batch_size: int, num_preds: int, compute_dtype: str, use_pall
         stay ARGUMENTS here: baking the 35M-param T5 into the executable as
         constants pushes the remote compile past 10 minutes for no measured
         step-time win (the rollout is latency-, not schedule-, bound)."""
-        out = model.apply(model_params, videos, decode=False, rngs={"slots": key})
+        from textocvp_tpu.data.wire import as_float_video
+
+        out = model.apply(model_params, as_float_video(videos), decode=False,
+                          rngs={"slots": key})
         pred_slots = predictor.apply(
             pred_params, out["slot_history"], num_preds=num_preds,
             teacher_force=False, caption_tokens=tokens, attn_masks=attn_masks,
@@ -199,7 +202,8 @@ def run_loader_leg(args, eval_step, tokens, attn_masks, key):
             _json.dump(want, f)
 
     ds = CATER(root=str(root), mode="easy", split="test",
-               num_frames=frames_needed, img_size=(64, 64))
+               num_frames=frames_needed, img_size=(64, 64),
+               uint8_output=(getattr(args, "wire", "float32") == "uint8"))
     loader = DataLoader(ds, batch_size=b, shuffle=False, drop_last=True,
                         num_workers=args.loader_workers, prefetch=4)
 
@@ -226,6 +230,7 @@ def run_loader_leg(args, eval_step, tokens, attn_masks, key):
     dt = time.perf_counter() - t0
     return {
         "with_loader": args.with_loader,
+        "wire": getattr(args, "wire", "float32"),
         "loader_workers": args.loader_workers,
         "fps_with_loader": round(b * p * n_steps / dt
                                  / jax.local_device_count(), 2),
@@ -248,6 +253,11 @@ def main():
                         help="opt-in int8 decoder tail (changes outputs; "
                              "docs/PERFORMANCE.md 'int8 decode') — NOT the "
                              "default headline")
+    parser.add_argument("--wire", default="float32",
+                        choices=["float32", "uint8"],
+                        help="--with_loader wire dtype: uint8 ships batches "
+                             "to the device as uint8, normalized on-device "
+                             "(bit-identical inputs; data/wire.py)")
     parser.add_argument("--with_loader", default=None, choices=["png", "npy"],
                         help="also measure the step fed by the REAL "
                              "DataLoader over an on-disk CATER dataset (png: "

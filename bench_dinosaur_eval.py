@@ -17,6 +17,14 @@ import argparse
 import json
 import sys
 import time
+import os
+
+# Default the persistent XLA compile cache on (same as bench.py): these
+# ViT-scale programs take minutes to compile cold on the remote-attached
+# runtime but reload in seconds once cached. setdefault only.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/textocvp_jax_cache"))
 
 
 def _stage_flops(exp_params, b, c, p):
@@ -229,7 +237,7 @@ def run_loader_leg(args, eval_step, b, c, p, img, tokens, attn_masks, key):
         use_root = cache_root
 
     ds = CLIPort(root=use_root, split="test", num_frames=frames_needed,
-                 img_size=(img, img))
+                 img_size=(img, img), uint8_output=(args.wire == "uint8"))
     loader = DataLoader(ds, batch_size=b, shuffle=False, drop_last=True,
                         num_workers=args.loader_workers, prefetch=4)
 
@@ -257,6 +265,7 @@ def run_loader_leg(args, eval_step, b, c, p, img, tokens, attn_masks, key):
     dt = _time.perf_counter() - t0
     return {
         "with_loader": args.with_loader,
+        "wire": args.wire,
         "loader_workers": args.loader_workers,
         "fps_with_loader": round(b * p * n_steps / dt, 2),
         "step_ms_with_loader": round(1000 * dt / n_steps, 2),
@@ -278,6 +287,10 @@ def main():
     ap.add_argument("--encode_quant", default=None, choices=["int8"],
                     help="opt-in int8 frozen-ViT denses (tpu.encode_quant; "
                          "changes outputs) — NOT the default headline")
+    ap.add_argument("--wire", default="float32", choices=["float32", "uint8"],
+                    help="--with_loader wire dtype: uint8 ships batches to "
+                         "the device as uint8 and normalizes on-device "
+                         "(bit-identical inputs; data/wire.py)")
     ap.add_argument("--with_loader", default=None, choices=["png", "cache"],
                     help="also measure the step fed by the REAL DataLoader "
                          "over an on-disk dataset (png: decode 480x640 "
@@ -349,11 +362,13 @@ def main():
 
     # the evaluator's two-stage structure; ViT-scale weights stay ARGUMENTS
     # (oversized jit constants are rejected by the remote compile service)
+    from textocvp_tpu.data.wire import as_float_video
+
     @jax.jit
     def predict_stage(mv, pv, videos, tokens, attn_masks, key):
         ekw = {} if encode_scales is None else {
             "encode_quant_scales": encode_scales}
-        out = model.apply(mv, videos[:, :c], decode=False,
+        out = model.apply(mv, as_float_video(videos[:, :c]), decode=False,
                           rngs={"slots": key}, **ekw)
         return predictor.apply(pv, out["slot_history"], num_preds=p,
                                teacher_force=False, caption_tokens=tokens,
@@ -376,7 +391,7 @@ def main():
     def decode_metrics_stage(mv, pred_slots, videos):
         dec = model.apply(mv, pred_slots.reshape(b * p, num_slots, slot_dim),
                           method="decode", quant_scales=quant_scales)
-        targets = jnp.clip(videos[:, c:c + p], 0, 1)
+        targets = jnp.clip(as_float_video(videos[:, c:c + p]), 0, 1)
         pred_imgs = jnp.clip(dec["recons_imgs"].reshape(targets.shape), 0, 1)
         vals = tracker.compute(pred_imgs, targets)
         return vals, jnp.sum(pred_imgs)

@@ -21,6 +21,14 @@ import tempfile
 import threading
 import time
 import urllib.request
+import os
+
+# Default the persistent XLA compile cache on (same as bench.py): these
+# ViT-scale programs take minutes to compile cold on the remote-attached
+# runtime but reload in seconds once cached. setdefault only.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/textocvp_jax_cache"))
 
 
 def build_experiment(root, num_preds: int, model_kind: str = "cater"):
@@ -223,6 +231,12 @@ def main():
     ap.add_argument("--decode_quant", default=None, choices=["int8"],
                     help="opt-in int8 decode on the served model "
                          "(docs/PERFORMANCE.md 'int8 decode')")
+    ap.add_argument("--wire_dtype", default="float32",
+                    choices=["float32", "uint8"],
+                    help="service input wire: uint8 ships request frames to "
+                         "the device as uint8, normalized on-device "
+                         "(data/wire.py; the HTTP payload is uint8 npz "
+                         "either way)")
     ap.add_argument("--clients", type=int, default=0,
                     help="concurrent 1-row clients (0 = one full-batch "
                          "client, the default protocol). Models the "
@@ -269,7 +283,8 @@ def main():
             pp.write_text(_json.dumps(d))
         service = PredictionService(
             exp_path, "t5", decomp_ckpt="checkpoint_epoch_final",
-            pred_ckpt="checkpoint_epoch_final", batch_size=args.batch)
+            pred_ckpt="checkpoint_epoch_final", batch_size=args.batch,
+            wire_dtype=args.wire_dtype)
         if args.ab_depths:
             if args.dynamic_batch_ms is None:
                 args.dynamic_batch_ms = 50.0
@@ -312,6 +327,8 @@ def main():
         frames_total = args.requests * args.batch * args.num_preds
         suffix = (f", decode_quant={args.decode_quant}"
                   if args.decode_quant else "")
+        if args.wire_dtype != "float32":
+            suffix += f", wire={args.wire_dtype}"
         label = ("CLIPort ExtendedDINOSAUR+TextOCVP_T5 336px"
                  if args.model == "dinosaur" else "CATER SAVi+TextOCVP_T5")
         print(json.dumps({

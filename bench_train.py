@@ -29,6 +29,14 @@ import json
 import sys
 import tempfile
 import time
+import os
+
+# Default the persistent XLA compile cache on (same as bench.py): these
+# ViT-scale programs take minutes to compile cold on the remote-attached
+# runtime but reload in seconds once cached. setdefault only.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/textocvp_jax_cache"))
 
 import numpy as np
 

@@ -80,7 +80,7 @@ def cache_cater(args) -> int:
             frames = _resize_frames(frames, sz)
         out_name = os.path.splitext(os.path.basename(ann["video"]))[0] + ".npy"
         np.save(os.path.join(out_dir, out_name),
-                (np.clip(frames, 0, 1) * 255).astype(np.uint8))
+                np.round(np.clip(frames, 0, 1) * 255).astype(np.uint8))
         new_ann[key] = {**ann, "video": out_name}
         if len(new_ann) % 100 == 0:
             print(f"  cached {len(new_ann)}/{len(annotations)}")
@@ -133,7 +133,7 @@ def cache_cliport(args) -> int:
                 img_size)
             for f in frame_files
         ]
-        arr = (np.clip(np.stack(frames), 0, 1) * 255).astype(np.uint8)
+        arr = np.round(np.clip(np.stack(frames), 0, 1) * 255).astype(np.uint8)
         cache_path = os.path.join(ep_out, f"color_cache_{token}.npy")
         tmp = cache_path + f".tmp.{os.getpid()}"
         with open(tmp, "wb") as f:  # np.save(path) would append .npy to tmp

@@ -36,6 +36,12 @@ def serve_args(argv=None):
                         help="dispatcher threads for dynamic batching: 2 "
                              "packs batch N+1 while N runs on-device "
                              "(lower p95), 1 dispatches serially")
+    parser.add_argument("--wire_dtype", default="float32",
+                        choices=["float32", "uint8"],
+                        help="request wire dtype: uint8 ships context frames "
+                             "to the device as uint8 and normalizes on-device "
+                             "(4x fewer H2D bytes; float inputs snap to the "
+                             "1/255 grid — lossless for camera frames)")
     parser.add_argument("--export", default=None, metavar="DIR",
                         help="instead of serving, AOT-export the compiled "
                              "stages (StableHLO + manifest) to DIR — "
@@ -61,7 +67,7 @@ def main(argv=None):
         decomp_ckpt=args.decomp_ckpt, pred_ckpt=args.pred_ckpt,
         num_seed=args.num_seed, num_preds=args.num_preds,
         batch_size=args.batch_size, max_tokens=args.max_tokens,
-        mesh_axes=mesh_axes,
+        mesh_axes=mesh_axes, wire_dtype=args.wire_dtype,
     )
     if args.export:
         from textocvp_tpu.serve.export import export_service

@@ -23,6 +23,10 @@ from textocvp_tpu.data.vocabularies import (
     CLIPORT_VOCAB,
     CLIPORT_VOCAB_TEST,
 )
+# INV255: the shared uint8→float normalization constant. Multiply (never /255)
+# so host decode and the on-device uint8-wire normalization are bit-identical
+# (XLA strength-reduces constant division; see data/wire.py).
+from textocvp_tpu.data.wire import INV255
 
 
 def _random_start(seed: int, epoch: int, idx: int, n_choices: int) -> int:
@@ -66,15 +70,19 @@ def _resize_frames(frames: np.ndarray, size) -> np.ndarray:
         return frames.astype(np.float32)
     out = np.empty((t, new_h, new_w, c), dtype=np.float32)
     for i in range(t):
-        img = Image.fromarray((np.clip(frames[i], 0, 1) * 255).astype(np.uint8))
-        out[i] = np.asarray(img.resize((new_w, new_h), Image.BILINEAR), dtype=np.float32) / 255.0
+        # round, don't truncate: k*INV255*255 can land 1 ulp below k
+        img = Image.fromarray(
+            np.round(np.clip(frames[i], 0, 1) * 255).astype(np.uint8))
+        out[i] = np.asarray(img.resize((new_w, new_h), Image.BILINEAR), dtype=np.float32) * INV255
     return out
 
 
-def _load_image_resized(path: str, size) -> np.ndarray:
+def _load_image_resized(path: str, size, as_uint8: bool = False) -> np.ndarray:
     """Decode one image and resize it INSIDE PIL's uint8 domain, converting to
     float32 [0,1] only at the final (small) resolution. This is the throughput
     path: full-res float round-trips cost ~10x (see bench_loader.py).
+    ``as_uint8`` skips that final conversion entirely — the uint8-on-the-wire
+    path (data/wire.py) normalizes on device instead.
 
     PNGs take the native C++ fast path when the extension has been built
     (textocvp_tpu/native/imgio.cpp — libpng decode + a resize that is
@@ -96,7 +104,9 @@ def _load_image_resized(path: str, size) -> np.ndarray:
                     new_h, new_w = _target_hw(hw[0], hw[1], size)
                     arr8 = native.decode_png_rgb_resized(data, new_h, new_w)
                 if arr8 is not None:
-                    return arr8.astype(np.float32) / 255.0
+                    if as_uint8:
+                        return arr8
+                    return arr8.astype(np.float32) * INV255
 
     with open(path, "rb") as f:
         img = Image.open(f).convert("RGB")
@@ -104,8 +114,10 @@ def _load_image_resized(path: str, size) -> np.ndarray:
             new_h, new_w = _target_hw(img.height, img.width, size)
             if (new_h, new_w) != (img.height, img.width):
                 img = img.resize((new_w, new_h), Image.BILINEAR)
+        if as_uint8:
+            return np.asarray(img, dtype=np.uint8)
         arr = np.asarray(img, dtype=np.float32)
-    arr /= 255.0
+    arr *= INV255
     return arr
 
 
@@ -167,7 +179,8 @@ def _indexed_seek_safe(reader, path: str) -> bool:
     return ok
 
 
-def _read_video(path: str, indices: np.ndarray, size=None) -> np.ndarray:
+def _read_video(path: str, indices: np.ndarray, size=None,
+                as_uint8: bool = False) -> np.ndarray:
     """
     Decode selected frames as float32 [0,1] (T, H, W, C). Supports:
     * mp4/avi via imageio (requires an ffmpeg backend)
@@ -178,6 +191,9 @@ def _read_video(path: str, indices: np.ndarray, size=None) -> np.ndarray:
 
     ``size`` resizes during decode (uint8 domain, per frame) — the throughput
     path for directory-of-images videos; other formats resize after decode.
+    ``as_uint8`` keeps the decoder-native uint8 frames (every source format
+    is uint8 underneath) for the uint8-on-the-wire path (data/wire.py);
+    float sources in .npy/.npz are converted back losslessly.
     """
     indices = np.asarray(indices, dtype=np.int64)
     if os.path.isdir(path):
@@ -185,16 +201,21 @@ def _read_video(path: str, indices: np.ndarray, size=None) -> np.ndarray:
             f for f in os.listdir(path)
             if f.lower().endswith((".png", ".jpg", ".jpeg"))
         )
-        frames = [_load_image_resized(os.path.join(path, files[int(i)]), size)
+        frames = [_load_image_resized(os.path.join(path, files[int(i)]), size,
+                                      as_uint8=as_uint8)
                   for i in indices]
         return np.stack(frames, axis=0)
     if path.endswith((".npy", ".npz")):
-        arr = np.load(path)
+        arr = np.load(path, mmap_mode="r" if path.endswith(".npy") else None)
         if hasattr(arr, "files"):  # npz: first array
             arr = arr[arr.files[0]]
-        arr = arr[indices]
+        arr = np.asarray(arr[indices])
+        if as_uint8:
+            from textocvp_tpu.data.wire import to_uint8_frames
+
+            return to_uint8_frames(arr)
         if arr.dtype == np.uint8:
-            arr = arr.astype(np.float32) / 255.0
+            arr = arr.astype(np.float32) * INV255
         return arr.astype(np.float32)
 
     import imageio
@@ -214,18 +235,21 @@ def _read_video(path: str, indices: np.ndarray, size=None) -> np.ndarray:
     # (index / fps), so it is gated on a once-per-path CFR verification
     # (_indexed_seek_safe); otherwise decode sequentially, which is exact
     # for any container.
+    def _frame(fr):
+        if as_uint8:
+            return np.asarray(fr, dtype=np.uint8)
+        return np.asarray(fr, dtype=np.float32) * INV255
+
     try:
         if _indexed_seek_safe(reader, path):
-            frames = [np.asarray(reader.get_data(int(i)),
-                                 dtype=np.float32) / 255.0
-                      for i in indices]
+            frames = [_frame(reader.get_data(int(i))) for i in indices]
         else:
             want = {int(i) for i in indices}
             last = max(want)
             got = {}
             for j, fr in enumerate(reader):
                 if j in want:
-                    got[j] = np.asarray(fr, dtype=np.float32) / 255.0
+                    got[j] = _frame(fr)
                 if j >= last:
                     break
             missing = want - got.keys()
@@ -245,7 +269,8 @@ class CATER:
     MODES = ["easy", "hard"]
 
     def __init__(self, root, mode, split, num_frames=16, img_size=(64, 64),
-                 random_start=False, seed: int = 14, **kwargs):
+                 random_start=False, seed: int = 14,
+                 uint8_output: bool = False, **kwargs):
         if mode not in self.MODES:
             raise NameError(f"mode={mode!r} unknown. Use one of {self.MODES}")
         if split not in ["train", "val", "valid", "test", "eval"]:
@@ -261,6 +286,9 @@ class CATER:
         self.random_start = random_start
         self._seed = seed
         self._epoch = 0
+        # uint8-on-the-wire (data/wire.py): items stay uint8, consumers
+        # normalize on device. Config knob: dataset.uint8_wire.
+        self.uint8_output = uint8_output
         with open(os.path.join(self.root, f"{split}_explicit.json")) as f:
             self.annotations = json.load(f)
 
@@ -284,9 +312,16 @@ class CATER:
         else:
             start = 1
         indices = np.arange(start, start + self.num_frames)
-        frames = _read_video(video_path, indices, size=self.img_size)
+        frames = _read_video(video_path, indices, size=self.img_size,
+                             as_uint8=self.uint8_output)
         if frames.shape[1:3] != tuple(self.img_size):
-            frames = _resize_frames(frames, self.img_size)
+            if frames.dtype == np.uint8:
+                from textocvp_tpu.data.wire import to_uint8_frames
+
+                frames = to_uint8_frames(_resize_frames(
+                    frames.astype(np.float32) * INV255, self.img_size))
+            else:
+                frames = _resize_frames(frames, self.img_size)
         return frames, caption
 
     @property
@@ -300,7 +335,7 @@ class CLIPort:
     EXCLUDE_EPISODES = ["episode07564", "episode09031", "episode13755", "episode11237"]
 
     def __init__(self, root, split, num_frames, img_size, random_start=False,
-                 seed: int = 14, **kwargs):
+                 seed: int = 14, uint8_output: bool = False, **kwargs):
         if split not in ["train", "val", "valid", "test", "eval"]:
             raise ValueError(f"Unknown split={split!r}")
         split = "val" if split in ("val", "valid") else ("test" if split in ("test", "eval") else split)
@@ -313,6 +348,9 @@ class CLIPort:
         self.random_start = random_start if split == "train" else False
         self._seed = seed
         self._epoch = 0
+        # uint8-on-the-wire (data/wire.py): items stay uint8, consumers
+        # normalize on device. Config knob: dataset.uint8_wire.
+        self.uint8_output = uint8_output
 
         self.episodes = sorted(
             (f for f in os.listdir(self.root)
@@ -361,14 +399,19 @@ class CLIPort:
         else:
             start = 0
         if arr is not None:
+            if self.uint8_output:
+                # pure memcpy out of the mmap — the fastest wire there is
+                return (np.asarray(arr[start:start + self.num_frames]),
+                        self.labels[idx])
             frames = np.asarray(arr[start:start + self.num_frames],
-                                dtype=np.float32) / 255.0
+                                dtype=np.float32) * INV255
             return frames, self.labels[idx]
         frames = [
             _load_image_resized(
                 os.path.join(color_dir,
                              f"{frame_files[i].split('_')[0]}_color.png"),
                 self.img_size,
+                as_uint8=self.uint8_output,
             )
             for i in range(start, start + self.num_frames)
         ]

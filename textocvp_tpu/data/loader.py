@@ -29,6 +29,10 @@ def load_data(exp_params: dict, split: str = "train"):
         raise NotImplementedError(f"Dataset {db_name!r} not available. Use one of {available}")
 
     tokenizer_name = db_params.pop("tokenizer", "T5")
+    # uint8-on-the-wire (data/wire.py): ship uint8 to the device, normalize
+    # there. 4x fewer host→device bytes and no host float conversion.
+    uint8_wire = bool(db_params.pop("uint8_wire", False))
+    db_params.setdefault("uint8_output", uint8_wire)
     if db_name in ("CATER_Easy", "CATER_Hard"):
         from textocvp_tpu.data.datasets import CATER
 
@@ -146,7 +150,9 @@ class DataLoader:
         return out
 
     def _collate(self, items, num_valid: int):
-        videos = np.stack([it[0] for it in items], axis=0).astype(np.float32)
+        videos = np.stack([it[0] for it in items], axis=0)
+        if videos.dtype != np.uint8:  # uint8-on-the-wire stays uint8
+            videos = videos.astype(np.float32)
         captions = [it[1] for it in items]
         info = {"caption": captions}
         tokenizer = getattr(self.dataset, "tokenizer", None)

@@ -34,8 +34,14 @@ class SyntheticBalls:
         num_balls: int = 3,
         random_start: bool = True,
         seed: int = 14,
+        uint8_output: bool = False,
         **kwargs,
     ):
+        # uint8-on-the-wire (data/wire.py). Unlike the decoder-backed
+        # datasets, synthetic frames are arbitrary floats, so the uint8 wire
+        # QUANTIZES them to the 1/255 grid here (immaterial for a sanity
+        # dataset; the real datasets round-trip exactly).
+        self.uint8_output = uint8_output
         self.split = "train" if split == "train" else "test"
         self.num_seqs = num_seqs
         self.num_frames = num_frames
@@ -90,7 +96,12 @@ class SyntheticBalls:
             start = int(rng.integers(0, self.total_frames - self.num_frames + 1))
         else:
             start = 0
-        return frames[start : start + self.num_frames], caption
+        frames = frames[start : start + self.num_frames]
+        if self.uint8_output:
+            from textocvp_tpu.data.wire import to_uint8_frames
+
+            frames = to_uint8_frames(frames)
+        return frames, caption
 
     @property
     def vocabulary(self) -> dict:

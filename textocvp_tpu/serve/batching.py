@@ -26,6 +26,8 @@ from typing import Optional, Sequence
 
 import numpy as np
 
+from textocvp_tpu.data.wire import as_float_video, to_uint8_frames
+
 
 class _Pending:
     __slots__ = ("frames", "captions", "rows", "done", "result", "error")
@@ -78,8 +80,12 @@ class DynamicBatcher:
         shared batch. Mirrors InferenceFrontend.predict's checks and dry-runs
         tokenization (OOV / over-length captions)."""
         frames = np.asarray(frames)
-        if frames.dtype == np.uint8:
-            frames = frames.astype(np.float32) / 255.0
+        # coalesced rows must share the service's wire dtype (data/wire.py)
+        if getattr(self.service, "wire_dtype", "float32") == "uint8":
+            if frames.dtype != np.uint8:
+                frames = to_uint8_frames(np.asarray(frames, np.float32))
+        elif frames.dtype == np.uint8:
+            frames = as_float_video(frames)
         b = frames.shape[0]
         if b < 1:
             raise ValueError("empty request: at least one video is required")

@@ -88,7 +88,10 @@ def export_service(service, out_dir) -> Path:
     # up from the operator's request cap for mesh divisibility)
     b = getattr(service, "_compiled_batch", service.batch_size)
     h, w = service.resolution
-    videos = jax.ShapeDtypeStruct((b, service.num_context, h, w, 3), jnp.float32)
+    wire_dtype = getattr(service, "wire_dtype", "float32")
+    videos = jax.ShapeDtypeStruct(
+        (b, service.num_context, h, w, 3),
+        jnp.uint8 if wire_dtype == "uint8" else jnp.float32)
     key = jax.ShapeDtypeStruct((2,), jnp.uint32)
     text_kwargs = {
         k: jax.ShapeDtypeStruct(v.shape, v.dtype)
@@ -115,6 +118,8 @@ def export_service(service, out_dir) -> Path:
         # honesty flags: the exported stages are int8-quantized (scales baked)
         "decode_quant": getattr(service, "_quant_mode", None),
         "encode_quant": getattr(service, "_encode_quant_mode", None),
+        # input wire dtype the executable was traced at (data/wire.py)
+        "wire_dtype": wire_dtype,
     }
     (out / _MANIFEST).write_text(json.dumps(manifest, indent=2))
     return out
@@ -136,6 +141,7 @@ class ExportedPredictionService(InferenceFrontend):
         self.num_preds = manifest["num_preds"]
         self.resolution = tuple(manifest["resolution"])
         self.max_tokens = manifest["max_tokens"]
+        self.wire_dtype = manifest.get("wire_dtype", "float32")
         self._text_spec = manifest["text_kwargs"]
         self.tokenizer = _serving_tokenizer({"dataset": manifest["dataset"]})
 

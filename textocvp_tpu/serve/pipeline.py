@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from textocvp_tpu.core.experiment import Experiment
 from textocvp_tpu.core.logger import Logger
 from textocvp_tpu.data.tokenizers import get_tokenizer
+from textocvp_tpu.data.wire import as_float_video, to_uint8_frames
 from textocvp_tpu.data.vocabularies import (
     CATER_EASY_VOCAB,
     CATER_HARD_VOCAB,
@@ -70,8 +71,9 @@ class InferenceFrontend:
     def _place_inputs(self, frames: np.ndarray, text_kwargs: dict):
         """Hook: put the padded request on device. The live mesh service
         overrides this to shard the batch axis over the mesh's data axis."""
-        return (jnp.asarray(frames, jnp.float32),
-                {k: jnp.asarray(v) for k, v in text_kwargs.items()})
+        frames = (jnp.asarray(frames) if frames.dtype == np.uint8
+                  else jnp.asarray(frames, jnp.float32))
+        return frames, {k: jnp.asarray(v) for k, v in text_kwargs.items()}
 
     def _tokenize(self, captions: Sequence[str]) -> dict:
         try:
@@ -151,8 +153,14 @@ class InferenceFrontend:
         compiled batch and the padding sliced off the reply.
         """
         frames = np.asarray(frames)
-        if frames.dtype == np.uint8:
-            frames = frames.astype(np.float32) / 255.0
+        if getattr(self, "wire_dtype", "float32") == "uint8":
+            # uint8-on-the-wire (data/wire.py): the compiled program
+            # normalizes on device; float inputs snap to the 1/255 grid
+            # (lossless for anything that came from a camera/decoder)
+            if frames.dtype != np.uint8:
+                frames = to_uint8_frames(np.asarray(frames, np.float32))
+        elif frames.dtype == np.uint8:
+            frames = as_float_video(frames)
         b = frames.shape[0]
         if b < 1:
             raise ValueError("empty request: at least one video is required")
@@ -214,7 +222,8 @@ class PredictionService(InferenceFrontend):
     def __init__(self, exp_path, name_pred_exp: str, decomp_ckpt: str,
                  pred_ckpt: str, num_seed: Optional[int] = None,
                  num_preds: Optional[int] = None, batch_size: int = 8,
-                 max_tokens: int = 24, mesh_axes: Optional[dict] = None):
+                 max_tokens: int = 24, mesh_axes: Optional[dict] = None,
+                 wire_dtype: str = "float32"):
         parent = Experiment(exp_path)
         self.exp = Experiment(parent.exp_path / "predictors" / name_pred_exp) \
             if not str(name_pred_exp).startswith(str(parent.exp_path)) \
@@ -236,6 +245,14 @@ class PredictionService(InferenceFrontend):
         # operator configured — validation and the HTTP banner read it.
         self._compiled_batch = self.batch_size
         self.max_tokens = int(max_tokens)
+        # input wire dtype (data/wire.py): "uint8" ships requests to the
+        # device as uint8 and normalizes inside the compiled program — 4x
+        # fewer H2D bytes (the narrow link on remote-attached runtimes).
+        # Lossless for camera/decoder frames (k/255 values); arbitrary float
+        # inputs are quantized to the 1/255 grid, hence opt-in.
+        if wire_dtype not in ("float32", "uint8"):
+            raise ValueError(f"wire_dtype {wire_dtype!r}: use float32|uint8")
+        self.wire_dtype = wire_dtype
 
         mp = self.exp_params["model"]["model_params"]
         self.num_slots = mp["num_slots"]
@@ -345,8 +362,9 @@ class PredictionService(InferenceFrontend):
         if self.mesh is None:
             return super()._place_inputs(frames, text_kwargs)
         put = lambda v: jax.device_put(np.asarray(v), self._batch_sharding)
-        return put(np.asarray(frames, np.float32)), \
-            {k: put(v) for k, v in text_kwargs.items()}
+        frames = (np.asarray(frames) if frames.dtype == np.uint8
+                  else np.asarray(frames, np.float32))
+        return put(frames), {k: put(v) for k, v in text_kwargs.items()}
 
     # ------------------------------------------------------------------ build
     def _build(self):
@@ -388,6 +406,7 @@ class PredictionService(InferenceFrontend):
         tail_chunks = pick_tail_chunks(decode_rows, s, shard_multiple=n_shards)
 
         def _predict(mv, pv, videos, key, encode_scales=None, **text_kwargs):
+            videos = as_float_video(videos)  # uint8 wire → [0,1] on device
             # int8 frozen-ViT encode (tpu.encode_quant; models/quant.py)
             ekw = {} if encode_scales is None else {
                 "encode_quant_scales": encode_scales}
@@ -497,7 +516,7 @@ class PredictionService(InferenceFrontend):
 
             self._predict_stage = lazy_encode_quantized_stage(
                 make_predict_stage,
-                lambda videos, key, **kw: videos,
+                lambda videos, key, **kw: as_float_video(videos),
                 model, model_vars,
                 on_scales=lambda sc: setattr(self, "encode_quant_scales", sc),
                 log=print_)

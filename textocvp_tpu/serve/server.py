@@ -112,6 +112,7 @@ def make_handler(service):
                 "num_preds": service.num_preds,
                 "resolution": [h, w],
                 "max_tokens": service.max_tokens,
+                "wire_dtype": getattr(service, "wire_dtype", "float32"),
             })
 
         def do_POST(self):

@@ -27,6 +27,7 @@ import numpy as np
 from textocvp_tpu.core.experiment import Experiment
 from textocvp_tpu.core.logger import Logger, for_all_methods, log_function, print_
 from textocvp_tpu.data import DataLoader, load_data
+from textocvp_tpu.data.wire import as_float_video
 from textocvp_tpu.models import setup_model, setup_predictor
 from textocvp_tpu.parallel.distributed import (
     get_runtime_mesh,
@@ -112,7 +113,9 @@ class DecompEvaluator:
 
     def load_model(self, sample_videos: np.ndarray):
         init_rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
-        variables = self.model.init(init_rngs, jnp.asarray(sample_videos[:1]), train=False)
+        variables = self.model.init(
+            init_rngs, as_float_video(jnp.asarray(sample_videos[:1])),
+            train=False)
         restored = load_checkpoint(checkpoint_path(self.exp.models_dir, self.checkpoint))
         self.variables = {"params": jax.tree_util.tree_map(jnp.asarray, restored["params"])}
         if restored.get("batch_stats"):
@@ -143,6 +146,7 @@ class DecompEvaluator:
 
         def _eval(variables, videos, rng, tail_chunks=None, tail_unroll=None,
                   quant_scales=None, encode_scales=None):
+            videos = as_float_video(videos)  # uint8 wire → [0,1] on device
             b, t = videos.shape[:2]
             # scan-chunked decoder tail on large recon batches (exact;
             # docs/PERFORMANCE.md "decode chunking"). ExtendedDINOSAUR
@@ -229,7 +233,8 @@ class DecompEvaluator:
             def slots_of(videos, rng):
                 slots = jax.jit(
                     lambda v, x, r: model.apply(
-                        v, x, decode=False, rngs={"slots": r})["slot_history"]
+                        v, as_float_video(x), decode=False,
+                        rngs={"slots": r})["slot_history"]
                 )(variables, videos, rng)
                 return slots.reshape(-1, *slots.shape[-2:])
 
@@ -245,7 +250,8 @@ class DecompEvaluator:
             from textocvp_tpu.models.quant import lazy_encode_quantized_stage
 
             self.eval_step = lazy_encode_quantized_stage(
-                build_with_decode_quant, lambda videos, rng: videos,
+                build_with_decode_quant,
+                lambda videos, rng: as_float_video(videos),
                 model, variables,
                 on_scales=lambda s: setattr(self, "encode_quant_scales", s),
                 log=print_)
@@ -365,7 +371,7 @@ class PredictorEvaluator:
 
     def load_models(self, sample_videos: np.ndarray, sample_text: Optional[dict] = None):
         c, p = self.num_context, self.num_preds
-        videos = jnp.asarray(sample_videos[:1, : c + p])
+        videos = as_float_video(jnp.asarray(sample_videos[:1, : c + p]))
         init_rngs = {"params": jax.random.PRNGKey(0), "slots": jax.random.PRNGKey(1)}
         init_vars = self.decomp_model.init(init_rngs, videos, decode=True, train=False)
 
@@ -431,7 +437,7 @@ class PredictorEvaluator:
                      **text_kwargs):
             """Seed-encode + rollout -> predicted slots. ``encode_scales``
             switches the frozen-ViT denses to int8 (tpu.encode_quant)."""
-            seed = videos[:, :c]
+            seed = as_float_video(videos[:, :c])  # uint8 wire → [0,1]
             ekw = {} if encode_scales is None else {
                 "encode_quant_scales": encode_scales}
             out = decomp_model.apply(dv, seed, decode=False,
@@ -456,7 +462,7 @@ class PredictorEvaluator:
                 method="decode", tail_chunks=tail_chunks, tail_unroll=tail_unroll,
                 **qkw,
             )
-            targets = jnp.clip(videos[:, c : c + p], 0, 1)
+            targets = jnp.clip(as_float_video(videos[:, c : c + p]), 0, 1)
             pred_imgs = jnp.clip(dec["recons_imgs"].reshape(targets.shape), 0, 1)
             vals = tracker.compute(pred_imgs, targets)
             # replicate the tiny (B, F) metrics so every process holds the
@@ -505,7 +511,8 @@ class PredictorEvaluator:
 
             predict_stage = lazy_encode_quantized_stage(
                 make_predict_stage,
-                lambda pred_params, videos, rng, **tk: videos[:, :c],
+                lambda pred_params, videos, rng, **tk: as_float_video(
+                    videos[:, :c]),
                 decomp_model, decomp_vars,
                 on_scales=lambda s: setattr(self, "encode_quant_scales", s),
                 log=print_)

@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from textocvp_tpu.core.logger import print_
+from textocvp_tpu.data.wire import as_float_video
 from textocvp_tpu.train.evaluator import DecompEvaluator, PredictorEvaluator, _text_kwargs
 from textocvp_tpu.train.metrics import MetricTracker
 from textocvp_tpu.viz import figures as viz
@@ -40,7 +41,8 @@ class DecompFigGenerator(DecompEvaluator):
 
         @jax.jit
         def fig_step(variables, videos, rng):
-            return model.apply(variables, videos, rngs={"slots": rng})
+            return model.apply(variables, as_float_video(videos),
+                               rngs={"slots": rng})
 
         self.fig_step = fig_step
 
@@ -52,7 +54,7 @@ class DecompFigGenerator(DecompEvaluator):
             out = self.fig_step(self.variables, jnp.asarray(videos),
                                 jax.random.fold_in(jax.random.PRNGKey(14), i))
             seq_dir = out_dir / f"sequence_{i:02d}"
-            gt = np.asarray(videos[0])
+            gt = np.asarray(as_float_video(videos[0]))
             if "recons_imgs" in out:
                 recons = np.clip(np.asarray(out["recons_imgs"][0]), 0, 1)
                 viz.visualize_recons(gt, recons, savepath=seq_dir / "recons.png")
@@ -114,8 +116,9 @@ class PredictorFigGenerator(PredictorEvaluator):
         def decode_seed(videos, rng):
             """Seed frames decomposed WITH decoding (objects + masks for the
             aligned-slots figure; reference 06_generate_figs_predictor.py:108-127)."""
-            return decomp_model.apply(decomp_vars, videos[:, :c], decode=True,
-                                      rngs={"slots": rng})
+            return decomp_model.apply(decomp_vars,
+                                      as_float_video(videos[:, :c]),
+                                      decode=True, rngs={"slots": rng})
 
         self.decode_full = decode_full
         self.decode_seed = decode_seed
@@ -155,7 +158,7 @@ class PredictorFigGenerator(PredictorEvaluator):
             seq_dir = out_dir / f"sequence_{i:02d}_psnr={psnr_v:.2f}_lpips={lpips_v:.3f}"
             seq_dir.mkdir(parents=True, exist_ok=True)
 
-            gt = np.clip(np.asarray(videos[0]), 0, 1)
+            gt = np.clip(np.asarray(as_float_video(videos[0])), 0, 1)
             preds = np.clip(np.asarray(pred_imgs[0]), 0, 1)
 
             # qualitative panel (reference qual_eval_rgb.png)

@@ -25,6 +25,7 @@ import optax
 from textocvp_tpu.core.experiment import Experiment
 from textocvp_tpu.core.logger import Logger, for_all_methods, log_function, print_
 from textocvp_tpu.data import DataLoader, load_data
+from textocvp_tpu.data.wire import as_float_video
 from textocvp_tpu.models import setup_model, setup_predictor
 from textocvp_tpu.parallel.distributed import (
     get_runtime_mesh,
@@ -110,7 +111,8 @@ class PredictorTrainer:
         # jit the inits/applies here: eager flax init dispatches thousands of
         # tiny ops — pathologically slow over remote-attached device transports
         variables = jax.jit(
-            lambda r, x: self.decomp_model.init(r, x, decode=True, train=False)
+            lambda r, x: self.decomp_model.init(r, as_float_video(x),
+                                                decode=True, train=False)
         )(init_rngs, videos)
         decomp_target = {
             "params": variables["params"],
@@ -139,7 +141,8 @@ class PredictorTrainer:
         # predictor init (jitted — see the init note above)
         slot_sample = jax.jit(
             lambda p, x, key: self.decomp_model.apply(
-                {"params": p}, x, decode=False, rngs={"slots": key})
+                {"params": p}, as_float_video(x), decode=False,
+                rngs={"slots": key})
         )(self.decomp_params["params"], videos,
           jax.random.PRNGKey(2))["slot_history"]
         text_kwargs = {k: v[:1] for k, v in _text_kwargs(sample_text or {}).items()}
@@ -278,6 +281,7 @@ class PredictorTrainer:
 
         @partial(jax.jit, static_argnames=("tf", "accum"), donate_argnums=(0, 1))
         def train_step(params, opt_state, videos, rng, tf, accum=1, **text_kwargs):
+            videos = as_float_video(videos)  # uint8 wire → [0,1] on device
             if accum == 1:
                 grads, values = micro_grads(params, videos, rng, text_kwargs, tf)
             else:
@@ -311,6 +315,7 @@ class PredictorTrainer:
 
         @partial(jax.jit, static_argnames=("tf",))
         def valid_step(params, videos, rng, tf, **text_kwargs):
+            videos = as_float_video(videos)
             _, values = forward_loss(params, videos, rng, text_kwargs, tf,
                                      valid=True)
             return values
@@ -330,7 +335,7 @@ class PredictorTrainer:
         @jax.jit
         def viz_forward(params, videos, rng, **text_kwargs):
             """Free-running rollout + decode of one sequence for TB images."""
-            videos = videos[:1, : c + p]
+            videos = as_float_video(videos[:1, : c + p])
             out = decomp_model.apply(decomp_vars(), videos, decode=False,
                                      rngs={"slots": rng})
             pred_slots = predictor.apply(
@@ -402,7 +407,7 @@ class PredictorTrainer:
             tk = {k: v[:1] for k, v in _text_kwargs(others).items()}
             preds = np.clip(np.asarray(
                 self.viz_forward(self.params, videos, self._rng(), **tk)), 0, 1)
-            gt = np.clip(np.asarray(videos[0, c : c + p]), 0, 1)
+            gt = np.clip(np.asarray(as_float_video(videos[0, c : c + p])), 0, 1)
             panel = np.concatenate([gt, preds], axis=1)  # vertical GT/pred
             strip = np.concatenate(list(panel), axis=1)
             self.writer.add_image("train/predictions", strip.transpose(2, 0, 1),

@@ -31,6 +31,7 @@ import optax
 from textocvp_tpu.core.experiment import Experiment
 from textocvp_tpu.core.logger import Logger, for_all_methods, log_function, print_
 from textocvp_tpu.data import DataLoader, load_data
+from textocvp_tpu.data.wire import as_float_video
 from textocvp_tpu.models import setup_model
 from textocvp_tpu.parallel.distributed import (
     get_runtime_mesh,
@@ -167,7 +168,7 @@ class DecompTrainer:
         # jit the init: eager flax init dispatches thousands of tiny ops,
         # which is pathologically slow over remote-attached device transports
         variables = jax.jit(
-            lambda r, x: self.model.init(r, x, train=False)
+            lambda r, x: self.model.init(r, as_float_video(x), train=False)
         )(init_rngs, jnp.asarray(sample_videos[:1]))
         params = variables["params"]
         self.batch_stats = variables.get("batch_stats", None)
@@ -283,6 +284,7 @@ class DecompTrainer:
 
         @partial(jax.jit, static_argnames=("accum",), donate_argnums=(0, 1, 2))
         def train_step(params, batch_stats, opt_state, videos, rng, accum=1):
+            videos = as_float_video(videos)  # uint8 wire → [0,1] on device
             if accum == 1:
                 grads, values, new_bs = micro_grads(params, batch_stats, videos, rng)
             else:
@@ -315,12 +317,14 @@ class DecompTrainer:
 
         @jax.jit
         def valid_step(params, batch_stats, videos, rng):
+            videos = as_float_video(videos)
             out, _ = forward(params, batch_stats, videos, rng, train=False)
             _, values = loss_fn(**self._loss_tensors(out, videos))
             return values
 
         @jax.jit
         def valid_forward(params, batch_stats, videos, rng):
+            videos = as_float_video(videos)
             out, _ = forward(params, batch_stats, videos, rng, train=False)
             return out
 
@@ -400,7 +404,7 @@ class DecompTrainer:
         try:
             out = self.valid_forward(self.params, self.batch_stats, videos[:1], self._rng())
             recons = np.clip(np.asarray(out["recons_imgs"][0]), 0, 1)  # (T, H, W, C)
-            gt = np.clip(np.asarray(videos[0]), 0, 1)
+            gt = np.clip(np.asarray(as_float_video(videos[0])), 0, 1)
             panel = np.concatenate([gt, recons], axis=1)  # stack vertically per frame
             strip = np.concatenate(list(panel), axis=1)   # frames left-to-right
             self.writer.add_image(
